@@ -1,0 +1,212 @@
+"""Draw-event relation: points → (tile, ordered draw events).
+
+Re-expresses the reference's imperative draw loop
+(/root/reference/gpx2tiles.c:602-712) as a declarative union of four
+event relations, all built with native Column expressions (one window
+shuffle for pairing + one hash shuffle into tile groups — nothing else):
+
+  stamp   — every point lands a pixel in its own tile (etype 0)
+  circle  — waypoint circles, exploded over their neighbor-tile rect
+            with the reference's exact (quirky) center translation (etype 1)
+  line    — same-tile segment lines (etype 2)
+  line    — cross-tile segment lines: explode the tile rectangle between
+            the endpoints' tiles, keep candidates whose translated segment
+            crosses a tile border edge (int64 CCW predicate, etype 2)
+
+Event order within a tile = (doc_id, seg_order, pt_idx, etype) — exactly
+the reference's file→segment→point→(stamp, circle, line) draw order, so a
+sorted fold reproduces its canvas byte-for-byte given the same primitives.
+
+Filters F2 (no lines below z_no_lines), F3 (slow segments), F4 (network
+src forces color 0), F5 (waypoint zoom gate), F6 (zero-length lines) are
+plain WHERE clauses — Catalyst pushes them below the zoom explode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import projection as P
+from ..colors import speed_clridx_col
+from ..config import (SPDCLR, SPEED_FIXED_COLOR, SPEED_FROM_DATA, TILE_H,
+                      TILE_W, EngineConfig, POINT_CIRCLE_COLOR)
+from .tiles import with_tile_pixel, with_zooms
+
+# etype doubles as the intra-point draw priority (gpx2tiles.c:654,658,671)
+ET_STAMP = 0
+ET_CIRCLE = 1
+ET_LINE = 2
+
+EVENT_COLS = ["z", "tx", "ty", "doc_id", "seg_order", "pt_idx", "etype",
+              "x1", "y1", "x2", "y2", "color"]
+
+
+def _turn(p1x, p1y, p2x, p2y, p3x, p3y) -> Column:
+    """Integer CCW orientation sign (gpx2tiles.c:421-432) as a Column."""
+    a = (p3y - p1y).cast("long") * (p2x - p1x).cast("long")
+    b = (p2y - p1y).cast("long") * (p3x - p1x).cast("long")
+    return F.when(a > b, F.lit(1)).when(a < b, F.lit(-1)).otherwise(F.lit(0))
+
+
+def crossing_tile_col(x1, y1, x2, y2) -> Column:
+    """Segment-crosses-tile-border predicate (gpx2tiles.c:439-447)."""
+    out = F.lit(False)
+    edges = [((0, 0), (TILE_W - 1, 0)), ((0, 0), (0, TILE_H - 1)),
+             ((TILE_W - 1, 0), (TILE_W - 1, TILE_H - 1)),
+             ((0, TILE_H - 1), (TILE_W - 1, TILE_H - 1))]
+    for (ex1, ey1), (ex2, ey2) in edges:
+        e1x, e1y, e2x, e2y = (F.lit(v) for v in (ex1, ey1, ex2, ey2))
+        inter = (
+            (_turn(x1, y1, e1x, e1y, e2x, e2y) != _turn(x2, y2, e1x, e1y, e2x, e2y))
+            & (_turn(x1, y1, x2, y2, e1x, e1y) != _turn(x1, y1, x2, y2, e2x, e2y))
+        )
+        out = out | inter
+    return out
+
+
+def point_color_col(cfg: EngineConfig) -> Column:
+    """Speed-mode stamp/line color (gpx2tiles.c:637-653). Requires columns
+    src, flags, speed, kind."""
+    if cfg.speed_mode == SPEED_FIXED_COLOR:
+        return F.lit(cfg.fixed_color)
+    if cfg.forced_speed_kph is not None:
+        # -S: constant speed -> constant color
+        import numpy as np
+
+        from ..colors import clridx_to_rgb, speed_kph_to_clridx
+        idx = int(speed_kph_to_clridx(np.array([cfg.forced_speed_kph]))[0])
+        return F.lit(int(clridx_to_rgb(np.array([idx]))[0]))
+    badsrc = F.col("src") == F.lit("network")
+    has_speed = F.col("flags").bitwiseAND(F.lit(8)) != 0
+    idx = F.when(badsrc | ~has_speed, F.lit(0)).otherwise(
+        speed_clridx_col(F.col("speed") * F.lit(3.6))
+    )
+    color_map = F.array(*[F.lit(c) for _, c in SPDCLR])
+    return F.element_at(color_map, idx + 1)
+
+
+def paired_points(points: DataFrame) -> DataFrame:
+    """W1: previous point per (doc, segment) — the draw loop's ppt/ppix.
+    One window shuffle, before the zoom explode (18× cheaper than after)."""
+    w = Window.partitionBy("doc_id", "seg_order").orderBy("pt_idx")
+    return (
+        points.withColumn("prev_lat", F.lag("lat").over(w))
+        .withColumn("prev_lon", F.lag("lon").over(w))
+    )
+
+
+def build_events(points: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """The full event relation for speed-color (default) or heatmap mode."""
+    trk = paired_points(points.filter(F.col("kind") == "trkpt"))
+    trk = with_zooms(trk, cfg)
+    trk = with_tile_pixel(trk)
+    trk = with_tile_pixel(trk, lat="prev_lat", lon="prev_lon", prefix="p_")
+
+    color = (F.lit(-1) if cfg.heatmap else point_color_col(cfg)).alias("color")
+    key = [F.col("z"), F.col("tx"), F.col("ty"), F.col("doc_id"),
+           F.col("seg_order"), F.col("pt_idx")]
+
+    # --- stamps (gpx2tiles.c:627-654): every track point, every zoom
+    stamps = trk.select(
+        *key, F.lit(ET_STAMP).alias("etype"),
+        F.col("px").alias("x1"), F.col("py").alias("y1"),
+        F.lit(0).alias("x2"), F.lit(0).alias("y2"), color,
+    )
+
+    # --- lines (F2/F3/F6 + same/cross-tile split)
+    can_line = (
+        F.col("prev_lat").isNotNull()
+        & (F.lit(cfg.heatmap) | (F.col("z") >= F.lit(cfg.z_no_lines)))
+        & ~((F.col("flags").bitwiseAND(F.lit(8)) != 0)
+            & (F.col("speed") * F.lit(3.6) < F.lit(cfg.no_lines_speed_kph)))
+    )
+    lines_src = trk.filter(can_line)
+
+    same_tile = (F.col("tx") == F.col("p_tx")) & (F.col("ty") == F.col("p_ty"))
+    same_lines = lines_src.filter(
+        same_tile & ((F.col("px") != F.col("p_px")) | (F.col("py") != F.col("p_py")))
+    ).select(
+        *key, F.lit(ET_LINE).alias("etype"),
+        # gd draws pix -> ppix in the same-tile branch (gpx2tiles.c:671)
+        F.col("px").alias("x1"), F.col("py").alias("y1"),
+        F.col("p_px").alias("x2"), F.col("p_py").alias("y2"), color,
+    )
+
+    # cross-tile: explode the tile rectangle between the endpoint tiles
+    # (gpx2tiles.c:675-703); sequence() steps ±1 automatically
+    cross = (
+        lines_src.filter(~same_tile)
+        .withColumn("cx", F.explode(F.sequence(F.col("p_tx"), F.col("tx"))))
+        .withColumn("cy", F.explode(F.sequence(F.col("p_ty"), F.col("ty"))))
+        .withColumn("lx1", F.col("p_px") - F.lit(TILE_W) * (F.col("cx") - F.col("p_tx")))
+        .withColumn("ly1", F.col("p_py") - F.lit(TILE_H) * (F.col("cy") - F.col("p_ty")))
+        .withColumn("lx2", F.col("px") - F.lit(TILE_W) * (F.col("cx") - F.col("tx")))
+        .withColumn("ly2", F.col("py") - F.lit(TILE_H) * (F.col("cy") - F.col("ty")))
+        .filter(crossing_tile_col(F.col("lx1"), F.col("ly1"), F.col("lx2"), F.col("ly2")))
+    )
+    cross_lines = cross.select(
+        F.col("z"), F.col("cx").alias("tx"), F.col("cy").alias("ty"),
+        F.col("doc_id"), F.col("seg_order"), F.col("pt_idx"),
+        F.lit(ET_LINE).alias("etype"),
+        F.col("lx1").alias("x1"), F.col("ly1").alias("y1"),
+        F.col("lx2").alias("x2"), F.col("ly2").alias("y2"), color,
+    )
+
+    out = stamps.unionByName(same_lines).unionByName(cross_lines)
+
+    # --- waypoints (F5): stamps + circles only at z > z_no_wpts
+    wpts = points.filter(F.col("kind") == "wpt")
+    wz = with_tile_pixel(with_zooms(wpts, cfg)).filter(
+        F.col("z") > F.lit(cfg.z_no_wpts)
+    )
+    wpt_stamps = wz.select(
+        *key, F.lit(ET_STAMP).alias("etype"),
+        F.col("px").alias("x1"), F.col("py").alias("y1"),
+        F.lit(0).alias("x2"), F.lit(0).alias("y2"),
+        (F.lit(-1) if cfg.heatmap else point_color_col(cfg)).alias("color"),
+    )
+    out = out.unionByName(wpt_stamps).unionByName(_wpt_circles(wz, cfg))
+    return out
+
+
+def _wpt_circles(wz: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Waypoint circle events over the neighbor-tile rect.
+
+    Reproduces neigh_tile_circle/next_neigh_tile closed-form
+    (gpx2tiles.c:531-597) including its quirks: the +1 center offset from
+    integer division ((r + 256) / 256) and the lt-relative (not
+    tile-relative) center translation.  C integer division truncates
+    toward zero — for d in (-256, 0), d/256 == 0.
+    """
+    r = cfg.point_circle_diameter
+    zmax_tiles = F.pow(F.lit(2.0), F.col("z")).cast("int") - F.lit(1)
+
+    def clamp(c: Column) -> Column:  # xy_out_of_range (gpx2tiles.c:518-529)
+        return F.least(F.greatest(c, F.lit(0)), zmax_tiles)
+
+    def cdiv(c: Column) -> Column:  # C truncating integer division by 256
+        return (c.cast("double") / F.lit(256.0)).cast("int")
+
+    lt_x = clamp(F.when(F.col("px") - r < 0, F.col("tx") + cdiv(F.col("px") - F.lit(r)) - 1).otherwise(F.col("tx")))
+    lt_y = clamp(F.when(F.col("py") - r < 0, F.col("ty") + cdiv(F.col("py") - F.lit(r)) - 1).otherwise(F.col("ty")))
+    rb_x = clamp(F.when(F.col("px") + r > TILE_W, F.col("tx") + cdiv(F.col("px") + F.lit(r))).otherwise(F.col("tx")))
+    rb_y = clamp(F.when(F.col("py") + r > TILE_W, F.col("ty") + cdiv(F.col("py") + F.lit(r))).otherwise(F.col("ty")))
+
+    c0 = F.lit((r + TILE_W) // TILE_W)  # the off-by-one center offset
+    return (
+        wz.withColumn("lt_x", lt_x).withColumn("lt_y", lt_y)
+        .withColumn("rb_x", rb_x).withColumn("rb_y", rb_y)
+        .withColumn("cx", F.explode(F.sequence(F.col("lt_x"), F.col("rb_x"))))
+        .withColumn("cy", F.explode(F.sequence(F.col("lt_y"), F.col("rb_y"))))
+        .select(
+            F.col("z"), F.col("cx").alias("tx"), F.col("cy").alias("ty"),
+            F.col("doc_id"), F.col("seg_order"), F.col("pt_idx"),
+            F.lit(ET_CIRCLE).alias("etype"),
+            (F.col("px") + c0 - F.lit(TILE_W) * (F.col("cx") - F.col("lt_x"))).alias("x1"),
+            (F.col("py") + c0 - F.lit(TILE_H) * (F.col("cy") - F.col("lt_y"))).alias("y1"),
+            F.lit(cfg.point_circle_diameter).alias("x2"),  # x2 carries diameter
+            F.lit(0).alias("y2"),
+            F.lit(POINT_CIRCLE_COLOR).alias("color"),
+        )
+    )

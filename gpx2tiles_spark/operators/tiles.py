@@ -1,0 +1,61 @@
+"""Tile assignment (R5/R6) + per-tile aggregates (A1-A3) as native
+DataFrame ops — all JVM-side Column math, no Python in the hot path.
+
+The zoom pyramid is an explicit ``explode(sequence(zmin, zmax))`` — an
+intentional 1→18 row multiplier that Catalyst places *after* filters
+(predicate pushdown keeps the pre-explode scan minimal).  Tile/pixel
+columns are the Column-expression twins of the numpy kernels in
+projection.py (bit-parity tested).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .. import projection as P
+from ..config import EngineConfig
+
+
+def with_zooms(points: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Fan out each point to every zoom level (gpx2tiles.c:1156-1208 —
+    the reference re-renders all points per zoom; here it is one job)."""
+    return points.withColumn(
+        "z", F.explode(F.sequence(F.lit(cfg.zoom_min), F.lit(max(cfg.zoom_max, cfg.zoom_min))))
+    )
+
+
+def with_tile_pixel(df: DataFrame, lat: str = "lat", lon: str = "lon",
+                    z: str | int = "z", prefix: str = "") -> DataFrame:
+    """Add tile (tx,ty) and in-tile pixel (px,py) columns."""
+    zc: Column | int = F.col(z) if isinstance(z, str) else z
+    latc, lonc = F.col(lat), F.col(lon)
+    tx, ty = P.tilex_col(lonc, zc), P.tiley_col(latc, zc)
+    df = df.withColumn(prefix + "tx", tx).withColumn(prefix + "ty", ty)
+    px, py = P.pixel_cols(lonc, latc, F.col(prefix + "tx"), F.col(prefix + "ty"), zc)
+    return df.withColumn(prefix + "px", px).withColumn(prefix + "py", py)
+
+
+def tile_point_counts(points: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """A1: per-(z,tx,ty) point counts — THE primary correctness artifact
+    (tile->point_cnt++, gpx2tiles.c:617).  Hash aggregate with map-side
+    partial aggregation; shuffle keyed (z,tx,ty)."""
+    return (
+        with_tile_pixel(with_zooms(points, cfg))
+        .groupBy("z", "tx", "ty")
+        .agg(F.count("*").alias("point_cnt"))
+    )
+
+
+def zoom_census(points: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """A2: per-zoom tile counts (zoom_levels[z].tile_cnt)."""
+    return (
+        tile_point_counts(points, cfg)
+        .groupBy("z")
+        .agg(F.count("*").alias("tile_cnt"), F.sum("point_cnt").alias("point_cnt"))
+    )
+
+
+def doc_point_counts(points: DataFrame) -> DataFrame:
+    """A3: per-document parsed point counts (gpx->points_cnt)."""
+    return points.groupBy("doc_id").agg(F.count("*").alias("points_cnt"))
