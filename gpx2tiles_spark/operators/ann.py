@@ -1,0 +1,107 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk_bruteforce`` — exact baseline: broadcast small query set,
+  JVM-side dot product via ``F.zip_with`` + ``F.aggregate`` (no Python).
+- ``cosine_topk_lsh`` — scale path: random-hyperplane (SimHash-for-
+  vectors) signatures bucket the corpus; queries probe their own bucket
+  (plus optional 1-bit flips), then exact re-rank inside buckets.  The
+  hyperplanes are derived deterministically from md5 so the index is
+  reproducible with no stored state.
+
+Cosine values are emitted in micro-units (floor(cos*1e6)) with (score,
+id) tie-break so results are stable across summation orders.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v,
+    ))
+
+
+def with_cosine(joined: DataFrame, vec_a: str = "embedding",
+                vec_b: str = "q_embedding") -> DataFrame:
+    cos = _dot(F.col(vec_a), F.col(vec_b)) / (_norm(F.col(vec_a)) * _norm(F.col(vec_b)))
+    return joined.withColumn("cos_micro", F.floor(cos * 1000000.0).cast("long"))
+
+
+def cosine_topk_bruteforce(vectors: DataFrame, queries: DataFrame,
+                           k: int = 10) -> DataFrame:
+    """vectors(vec_id, embedding) × queries(qid, q_embedding) → top-k."""
+    j = vectors.crossJoin(F.broadcast(queries))
+    j = with_cosine(j)
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_micro"), F.asc("vec_id"))
+    return (
+        j.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "vec_id", "cos_micro", "rnk")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes from md5 bits."""
+    planes = []
+    for p in range(n_planes):
+        vals: list[float] = []
+        i = 0
+        while len(vals) < dim:
+            h = hashlib.md5(f"plane{p}|{i}".encode()).digest()
+            for byte in h:
+                for bit in range(8):
+                    vals.append(1.0 if (byte >> bit) & 1 else -1.0)
+                    if len(vals) == dim:
+                        break
+                else:
+                    continue
+                break
+            i += 1
+        planes.append(vals[:dim])
+    return planes
+
+
+def _signature(vec: Column, planes: list[list[float]]) -> Column:
+    sig = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        arr = F.array(*[F.lit(v) for v in plane])
+        d = _dot(vec, arr)
+        sig = sig + F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return sig
+
+
+def cosine_topk_lsh(vectors: DataFrame, queries: DataFrame, k: int = 10,
+                    n_planes: int = 8, dim: int = 64) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN: probe the query's bucket + all 1-bit
+    neighbor buckets, exact re-rank within."""
+    planes = _hyperplanes(dim, n_planes)
+    v = vectors.withColumn("bucket", _signature(F.col("embedding"), planes))
+    qsig = queries.withColumn("sig", _signature(F.col("q_embedding"), planes))
+    probes = qsig.withColumn(
+        "bucket",
+        F.explode(F.array(
+            F.col("sig"),
+            *[F.col("sig").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)],
+        )),
+    ).select("qid", "q_embedding", "bucket")
+    j = with_cosine(v.join(F.broadcast(probes), "bucket"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_micro"), F.asc("vec_id"))
+    return (
+        j.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "vec_id", "cos_micro", "rnk")
+    )

@@ -1,0 +1,123 @@
+"""Corpus deduplication operators — the training-data-pipeline family.
+
+All hashing is md5-based (identical hex in Spark and DuckDB) so every
+operator has an exact SQL oracle; no engine-specific hash functions.
+
+- exact: content-hash groupBy (keep lowest id per group)
+- MinHash + LSH: word shingles → k md5-min signatures → banded buckets →
+  candidate pairs via self-equi-join on (band, band_key)
+- SimHash: per-document bit-vote fingerprint from word hashes
+- n-gram Jaccard: exact pairwise similarity on shingle sets
+
+Scale notes: shingle explode is a narrow map; the LSH bucket join is an
+equi-join on band keys (shuffle on band_key — bounded bucket sizes make
+it skew-safe, and at 10^12 docs banding is the only pairwise-comparison
+strategy that avoids the quadratic cross join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def doc_shingles(docs: DataFrame, n: int = 3,
+                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per document (narrow explode)."""
+    words = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Exact dedup via content hash: (content_hash, n_docs, keep_id)."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
+    )
+
+
+def minhash_signatures(shingles: DataFrame, num_hashes: int = 8) -> DataFrame:
+    """k min-of-md5 signature columns per doc (one aggregate pass)."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"s{i}|"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, num_hashes: int = 8,
+                        band_size: int = 2) -> DataFrame:
+    """Banded LSH: docs sharing any band's key become a candidate pair."""
+    bands = num_hashes // band_size
+    band_rows = None
+    for b in range(bands):
+        cols = [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+        r = signatures.select(
+            "doc_id", F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+        )
+        band_rows = r if band_rows is None else band_rows.unionByName(r)
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash16(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """16-bit SimHash: bit j votes ±1 per word by the j-th md5 nibble's
+    high bit; portable to SQL (hex-digit comparison)."""
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    ).withColumn("h", F.md5(F.col("word")))
+    votes = [
+        F.sum(
+            F.when(F.substring("h", j + 1, 1) >= "8", 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(16)
+    ]
+    agg = words.groupBy("doc_id").agg(*votes)
+    sim = None
+    for j in range(16):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return agg.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def ngram_jaccard_pairs(shingles: DataFrame, max_id) -> DataFrame:
+    """Exact pairwise Jaccard over shingle sets for doc_id <= max_id —
+    relational form (explode + self-join + count) so the SQL oracle is a
+    transliteration.  jaccard scaled to micro-units for stable hashing."""
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = shingles.filter(F.col("doc_id") <= max_id).alias("a")
+    b = shingles.filter(F.col("doc_id") <= max_id).alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "n_common",
+            F.floor(
+                F.col("n_common") * F.lit(1000000.0)
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+            ).cast("long").alias("jaccard_micro"),
+        )
+    )

@@ -1,0 +1,104 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting — all expressible as native Column pipelines with
+exact DuckDB oracles (no UDFs at all)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny built-in stopword lists (n-gram heuristic langid)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "for", "it"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "nicht", "mit", "den", "von"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est", "pour", "dans"],
+}
+
+PUNCT = ".,!?;:"
+
+
+def _word_count(text):
+    # whitespace tokens via pure replace arithmetic (engine-portable)
+    return F.length(text) - F.length(F.replace(text, F.lit(" "), F.lit(""))) + 1
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens ([a-z]+ runs, digit runs)."""
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        _word_count(t).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit("[a-z]+"), 0)).alias("alpha_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit("[0-9]+"), 0)).alias("num_tokens"),
+        F.length(t).alias("n_chars"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Length / punctuation / stopword ratios → micro-unit quality score."""
+    t = F.col("text")
+    n_chars = F.length(t)
+    n_words = _word_count(t)
+    punct = n_chars - F.length(F.regexp_replace(t, F.lit(r"[.,!?;:]"), F.lit("")))
+    stop_hits = None
+    for w in STOPWORDS["en"]:
+        hit = (
+            F.length(F.concat(F.lit(" "), t, F.lit(" ")))
+            - F.length(F.replace(F.concat(F.lit(" "), t, F.lit(" ")),
+                                 F.lit(f" {w} "), F.lit("")))
+        ) / F.lit(len(w) + 2)
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    avg_word_len = n_chars.cast("double") / n_words
+    score = (
+        F.lit(1000000.0)
+        * F.least(F.lit(1.0), n_words.cast("double") / F.lit(50.0))
+        * (F.lit(1.0) - F.least(F.lit(1.0), punct.cast("double") * F.lit(5.0) / n_chars))
+    )
+    return docs.select(
+        "doc_id", n_chars.alias("n_chars"), n_words.alias("n_words"),
+        punct.alias("n_punct"),
+        F.floor(stop_hits).cast("long").alias("stop_hits"),
+        F.floor(avg_word_len * 1000000.0).cast("long").alias("avg_word_len_micro"),
+        F.floor(score).cast("long").alias("quality_micro"),
+    )
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Stopword-vote language guess (deterministic tie order en>de>fr)."""
+    t = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    votes = {}
+    for lang, ws in STOPWORDS.items():
+        v = None
+        for w in ws:
+            hit = (
+                (F.length(t) - F.length(F.replace(t, F.lit(f" {w} "), F.lit(""))))
+                / F.lit(len(w) + 2)
+            )
+            v = hit if v is None else v + hit
+        votes[lang] = v
+    best = (
+        F.when((votes["en"] >= votes["de"]) & (votes["en"] >= votes["fr"]), "en")
+        .when(votes["de"] >= votes["fr"], "de")
+        .otherwise("fr")
+    )
+    return docs.select(
+        "doc_id",
+        F.floor(votes["en"]).cast("long").alias("en_hits"),
+        F.floor(votes["de"]).cast("long").alias("de_hits"),
+        F.floor(votes["fr"]).cast("long").alias("fr_hits"),
+        best.alias("lang_guess"),
+    )
+
+
+def fingerprints(docs: DataFrame, n: int = 4) -> DataFrame:
+    """Winnowing-lite document fingerprint: min md5 over word n-shingles
+    (plus the shingle count) — groups sharing a fingerprint are near-dup
+    candidates."""
+    words = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + 1, n))))
+    return docs.select(
+        "doc_id",
+        F.array_min(sh).alias("fingerprint"),
+        F.size(sh).alias("n_shingles"),
+    )

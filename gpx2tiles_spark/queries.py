@@ -1,0 +1,669 @@
+"""Query registry: every SURVEY.md §2 operator as a (Spark builder,
+DuckDB oracle SQL) pair over the driver testdata tables.
+
+Design rules for oracle parity (driver compares row count + schema +
+order-insensitive value hash, columns sorted by name):
+
+- identical column names via explicit aliases on BOTH sides;
+- integer outputs only (micro-units via FLOOR(x*1e6)) — no raw floats;
+- md5 as the only hash (identical hex in both engines);
+- arithmetic written with the same op tree so IEEE doubles agree
+  bit-for-bit; transcendental-function results never sit on decision
+  boundaries by construction of the derived point grid (geo.py);
+- DuckDB quirks handled: SUM(int)→HUGEINT is cast to BIGINT,
+  ``unnest(generate_series(...))`` yields BIGINT → cast, `/` on ints is
+  true division in both, FLOOR (not int-cast, which rounds in DuckDB).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import projection as P
+from .config import SPDCLR, TILE_H, TILE_W
+from .colors import speed_clridx_col, speed_clridx_sql
+from .operators import ann, dedup, geo, knn, textstats
+from .operators.parse import parse_documents
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn: QueryFn):
+        _REGISTRY[name] = (fn, sql)
+        return fn
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return {k: v[0] for k, v in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return geo.derived_points(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# SQL building blocks
+# ---------------------------------------------------------------------------
+
+PTS_SQL = f"""
+  SELECT event_id AS pid, user_id, ts,
+         {geo.LON_EXPR} AS lon, {geo.LAT_EXPR} AS lat, value AS kph
+  FROM events
+"""
+
+
+def tx_sql(lon: str, z: str) -> str:
+    return f"CAST(FLOOR(({lon} + 180.0) / 360.0 * POW(2.0, {z})) AS INT)"
+
+
+def ty_sql(lat: str, z: str) -> str:
+    return (f"CAST(FLOOR((1.0 - LN(TAN(RADIANS({lat})) + 1.0/COS(RADIANS({lat})))"
+            f" / PI()) / 2.0 * POW(2.0, {z})) AS INT)")
+
+
+# ---------------------------------------------------------------------------
+# Tiling core (R5/R6, A1-A3, K1-K7)
+# ---------------------------------------------------------------------------
+
+@register("tile_assign_z12", f"""
+  WITH pts AS ({PTS_SQL})
+  SELECT pid, {tx_sql('lon', '12')} AS tx, {ty_sql('lat', '12')} AS ty,
+         CAST({P.quadkey_sql(tx_sql('lon', '12'), ty_sql('lat', '12'), 12)} AS BIGINT) AS cell
+  FROM pts
+""")
+def q_tile_assign(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    tx, ty = P.tilex_col(F.col("lon"), 12), P.tiley_col(F.col("lat"), 12)
+    return pts.select(
+        "pid", tx.alias("tx"), ty.alias("ty"),
+        P.quadkey_col(tx, ty, 12).alias("cell"),
+    )
+
+
+@register("tile_counts_pyramid", f"""
+  WITH pts AS ({PTS_SQL}),
+  zs AS (SELECT CAST(unnest(generate_series(1, 8)) AS INT) AS z)
+  SELECT z, {tx_sql('lon', 'z')} AS tx, {ty_sql('lat', 'z')} AS ty,
+         COUNT(*) AS point_cnt
+  FROM pts, zs GROUP BY 1, 2, 3
+""")
+def q_tile_counts(spark, sf_dir):
+    pts = _points(spark, sf_dir).withColumn(
+        "z", F.explode(F.sequence(F.lit(1), F.lit(8))))
+    return (
+        pts.select("z", P.tilex_col(F.col("lon"), F.col("z")).alias("tx"),
+                   P.tiley_col(F.col("lat"), F.col("z")).alias("ty"))
+        .groupBy("z", "tx", "ty").agg(F.count("*").alias("point_cnt"))
+    )
+
+
+@register("zoom_census", f"""
+  WITH pts AS ({PTS_SQL}),
+  zs AS (SELECT CAST(unnest(generate_series(1, 8)) AS INT) AS z),
+  tiles AS (
+    SELECT z, {tx_sql('lon', 'z')} AS tx, {ty_sql('lat', 'z')} AS ty,
+           COUNT(*) AS point_cnt
+    FROM pts, zs GROUP BY 1, 2, 3)
+  SELECT z, COUNT(*) AS tile_cnt, CAST(SUM(point_cnt) AS BIGINT) AS point_cnt
+  FROM tiles GROUP BY z
+""")
+def q_zoom_census(spark, sf_dir):
+    return (
+        q_tile_counts(spark, sf_dir)
+        .groupBy("z")
+        .agg(F.count("*").alias("tile_cnt"), F.sum("point_cnt").alias("point_cnt"))
+    )
+
+
+# pixel positions: exp-form inverse Mercator on BOTH sides so the op trees
+# match exactly (DuckDB has no sinh)
+def _pixel_sql(z: int) -> str:
+    tx, ty = tx_sql("lon", str(z)), ty_sql("lat", str(z))
+    zp = f"POW(2.0, {z})"
+    n1 = f"(PI() - 2.0 * PI() * (CAST({ty} AS DOUBLE) / {zp}))"
+    n2 = f"(PI() - 2.0 * PI() * ((CAST({ty} AS DOUBLE) + 1.0) / {zp}))"
+    north = f"(DEGREES(ATAN(0.5 * (EXP({n1}) - EXP(-{n1})))))"
+    south = f"(DEGREES(ATAN(0.5 * (EXP({n2}) - EXP(-{n2})))))"
+    west = f"(-180.0 + CAST({tx} AS DOUBLE) * 360.0 / {zp})"
+    east = f"({west} + 360.0 / {zp})"
+    px = f"CAST(FLOOR((lon - {west}) * {TILE_W} / ({east} - {west})) AS INT)"
+    py = f"CAST(FLOOR((lat - {north}) * {TILE_H} / ({south} - {north})) AS INT)"
+    return (f"SELECT pid, {tx} AS tx, {ty} AS ty, {px} AS px, {py} AS py "
+            f"FROM pts")
+
+
+@register("pixel_positions_z16", f"WITH pts AS ({PTS_SQL})\n" + _pixel_sql(16))
+def q_pixel_positions(spark, sf_dir):
+    z = 16
+    pts = _points(spark, sf_dir)
+    tx, ty = P.tilex_col(F.col("lon"), z), P.tiley_col(F.col("lat"), z)
+    pts = pts.withColumn("tx", tx).withColumn("ty", ty)
+    zp = F.pow(F.lit(2.0), F.lit(z))
+    n1 = F.lit(math.pi) - F.lit(2.0 * math.pi) * (F.col("ty").cast("double") / zp)
+    n2 = F.lit(math.pi) - F.lit(2.0 * math.pi) * ((F.col("ty").cast("double") + F.lit(1.0)) / zp)
+    north = F.degrees(F.atan(F.lit(0.5) * (F.exp(n1) - F.exp(-n1))))
+    south = F.degrees(F.atan(F.lit(0.5) * (F.exp(n2) - F.exp(-n2))))
+    west = F.lit(-180.0) + F.col("tx").cast("double") * F.lit(360.0) / zp
+    east = west + F.lit(360.0) / zp
+    px = F.floor((F.col("lon") - west) * F.lit(TILE_W) / (east - west)).cast("int")
+    py = F.floor((F.col("lat") - north) * F.lit(TILE_H) / (south - north)).cast("int")
+    return pts.select("pid", "tx", "ty", px.alias("px"), py.alias("py"))
+
+
+@register("track_pairs", f"""
+  WITH pts AS ({PTS_SQL}),
+  lagged AS (
+    SELECT pid, user_id, lat, lon, epoch(ts) AS es,
+           LAG(lat) OVER w AS plat, LAG(lon) OVER w AS plon,
+           LAG(epoch(ts)) OVER w AS pes
+    FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, pid))
+  SELECT pid, user_id,
+         CAST(FLOOR(ACOS(LEAST(1.0,
+             SIN(RADIANS(plat)) * SIN(RADIANS(lat))
+           + COS(RADIANS(plat)) * COS(RADIANS(lat)) * COS(RADIANS(lon - plon))
+         )) * 6371000.0 * 1000.0) AS BIGINT) AS dist_milli,
+         CAST(FLOOR(es - pes) AS BIGINT) AS dt_sec
+  FROM lagged WHERE plat IS NOT NULL
+""")
+def q_track_pairs(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "pid")
+    es = F.col("ts").cast("timestamp").cast("double")  # NTZ → epoch seconds
+    lagged = pts.select(
+        "pid", "user_id", "lat", "lon", es.alias("es"),
+        F.lag("lat").over(w).alias("plat"), F.lag("lon").over(w).alias("plon"),
+        F.lag(es).over(w).alias("pes"),
+    ).filter(F.col("plat").isNotNull())
+    dist = P.earth_distance_col(F.col("plat"), F.col("plon"), F.col("lat"), F.col("lon"))
+    return lagged.select(
+        "pid", "user_id",
+        F.floor(dist * 1000.0).cast("long").alias("dist_milli"),
+        F.floor(F.col("es") - F.col("pes")).cast("long").alias("dt_sec"),
+    )
+
+
+@register("speed_color_hist", f"""
+  WITH pts AS ({PTS_SQL})
+  SELECT {speed_clridx_sql('kph')} AS clridx, COUNT(*) AS n
+  FROM pts GROUP BY 1
+""")
+def q_speed_colors(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    return (
+        pts.select(speed_clridx_col(F.col("kph")).alias("clridx"))
+        .groupBy("clridx").agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-tile clip (R8/K8) on synthetic integer segments — pure int math
+# ---------------------------------------------------------------------------
+
+def _turn_sql(p1x, p1y, p2x, p2y, p3x, p3y) -> str:
+    a = f"(CAST({p3y} - {p1y} AS BIGINT) * CAST({p2x} - {p1x} AS BIGINT))"
+    b = f"(CAST({p2y} - {p1y} AS BIGINT) * CAST({p3x} - {p1x} AS BIGINT))"
+    return f"(CASE WHEN {a} > {b} THEN 1 WHEN {a} < {b} THEN -1 ELSE 0 END)"
+
+
+def crossing_sql(x1, y1, x2, y2) -> str:
+    edges = [((0, 0), (TILE_W - 1, 0)), ((0, 0), (0, TILE_H - 1)),
+             ((TILE_W - 1, 0), (TILE_W - 1, TILE_H - 1)),
+             ((0, TILE_H - 1), (TILE_W - 1, TILE_H - 1))]
+    parts = []
+    for (e1x, e1y), (e2x, e2y) in edges:
+        t1 = _turn_sql(x1, y1, e1x, e1y, e2x, e2y)
+        t2 = _turn_sql(x2, y2, e1x, e1y, e2x, e2y)
+        t3 = _turn_sql(x1, y1, x2, y2, e1x, e1y)
+        t4 = _turn_sql(x1, y1, x2, y2, e2x, e2y)
+        parts.append(f"(({t1}) <> ({t2}) AND ({t3}) <> ({t4}))")
+    return "(" + " OR ".join(parts) + ")"
+
+
+_SEG_SQL = """
+  SELECT event_id AS pid,
+         CAST(event_id * 37 % 256 AS INT) AS x1,
+         CAST(event_id * 59 % 256 AS INT) AS y1,
+         CAST(event_id * 37 % 256 + (event_id * 13 % 1024) - 512 AS INT) AS x2,
+         CAST(event_id * 59 % 256 + (event_id * 29 % 1024) - 512 AS INT) AS y2
+  FROM events
+"""
+
+@register("clip_candidates", f"""
+  WITH segs AS ({_SEG_SQL}),
+  tiled AS (
+    SELECT *, CAST(FLOOR(x2 / 256.0) AS INT) AS tx2,
+              CAST(FLOOR(y2 / 256.0) AS INT) AS ty2
+    FROM segs WHERE CAST(FLOOR(x2 / 256.0) AS INT) <> 0
+                 OR CAST(FLOOR(y2 / 256.0) AS INT) <> 0),
+  cand AS (
+    SELECT pid, ty2, x1, y1, x2, y2,
+           CAST(unnest(generate_series(least(0, tx2), greatest(0, tx2))) AS INT) AS cx
+    FROM tiled),
+  cand2 AS (
+    SELECT pid, cx, x1, y1, x2, y2,
+           CAST(unnest(generate_series(least(0, ty2), greatest(0, ty2))) AS INT) AS cy
+    FROM cand)
+  SELECT pid, COUNT(*) AS n_crossed
+  FROM cand2
+  WHERE {crossing_sql('(x1 - 256 * cx)', '(y1 - 256 * cy)',
+                      '(x2 - 256 * cx)', '(y2 - 256 * cy)')}
+  GROUP BY pid
+""")
+def q_clip_candidates(spark, sf_dir):
+    from .operators.events import crossing_tile_col
+    ev = _t(spark, sf_dir, "events")
+    segs = ev.select(
+        F.col("event_id").alias("pid"),
+        (F.col("event_id") * 37 % 256).cast("int").alias("x1"),
+        (F.col("event_id") * 59 % 256).cast("int").alias("y1"),
+        (F.col("event_id") * 37 % 256 + (F.col("event_id") * 13 % 1024) - 512)
+        .cast("int").alias("x2"),
+        (F.col("event_id") * 59 % 256 + (F.col("event_id") * 29 % 1024) - 512)
+        .cast("int").alias("y2"),
+    )
+    tiled = segs.withColumn("tx2", F.floor(F.col("x2") / 256.0).cast("int")) \
+                .withColumn("ty2", F.floor(F.col("y2") / 256.0).cast("int")) \
+                .filter((F.col("tx2") != 0) | (F.col("ty2") != 0))
+    cand = (
+        tiled
+        .withColumn("cx", F.explode(F.sequence(F.least(F.lit(0), F.col("tx2")),
+                                               F.greatest(F.lit(0), F.col("tx2")))))
+        .withColumn("cy", F.explode(F.sequence(F.least(F.lit(0), F.col("ty2")),
+                                               F.greatest(F.lit(0), F.col("ty2")))))
+        .withColumn("cx", F.col("cx").cast("int"))
+        .withColumn("cy", F.col("cy").cast("int"))
+    )
+    crossed = cand.filter(crossing_tile_col(
+        F.col("x1") - 256 * F.col("cx"), F.col("y1") - 256 * F.col("cy"),
+        F.col("x2") - 256 * F.col("cx"), F.col("y2") - 256 * F.col("cy"),
+    ))
+    return crossed.groupBy("pid").agg(F.count("*").alias("n_crossed"))
+
+
+# ---------------------------------------------------------------------------
+# kNN (J4)
+# ---------------------------------------------------------------------------
+
+_KNN_SQL = f"""
+  WITH pts AS ({PTS_SQL}),
+  q AS (SELECT pid AS qid, lat AS qlat, lon AS qlon FROM pts WHERE pid < 5),
+  d AS (
+    SELECT q.qid, p.pid,
+           (p.lat - q.qlat) * (p.lat - q.qlat)
+         + (p.lon - q.qlon) * (p.lon - q.qlon) AS dist2
+    FROM pts p, q),
+  r AS (
+    SELECT qid, pid, dist2,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist2, pid) AS rnk
+    FROM d)
+  SELECT qid, pid, CAST(rnk AS INT) AS rnk,
+         CAST(FLOOR(dist2 * 1e6) AS BIGINT) AS dist2_micro
+  FROM r WHERE rnk <= 5
+"""
+
+
+@register("knn_bruteforce", _KNN_SQL)
+def q_knn_brute(spark, sf_dir):
+    pts = _points(spark, sf_dir).select("pid", "lat", "lon")
+    qs = pts.filter(F.col("pid") < 5).select(
+        F.col("pid").alias("qid"), F.col("lat").alias("qlat"),
+        F.col("lon").alias("qlon"))
+    r = knn.knn_bruteforce(pts, qs, 5)
+    return r.select("qid", "pid", F.col("rnk").cast("int").alias("rnk"),
+                    F.floor(F.col("dist2") * 1e6).cast("long").alias("dist2_micro"))
+
+
+@register("knn_bucketed", _KNN_SQL)
+def q_knn_bucketed(spark, sf_dir):
+    pts = _points(spark, sf_dir).select("pid", "lat", "lon")
+    qs = pts.filter(F.col("pid") < 5).select(
+        F.col("pid").alias("qid"), F.col("lat").alias("qlat"),
+        F.col("lon").alias("qlon"))
+    r = knn.knn_bucketed(pts, qs, 5, z=2)
+    return r.select("qid", "pid", F.col("rnk").cast("int").alias("rnk"),
+                    F.floor(F.col("dist2") * 1e6).cast("long").alias("dist2_micro"))
+
+
+# ---------------------------------------------------------------------------
+# Point-in-polygon join (J2 engine mapping) + sessionization
+# ---------------------------------------------------------------------------
+
+@register("pip_rects", f"""
+  WITH pts AS ({PTS_SQL}),
+  rects AS (
+    SELECT r_regionkey AS region_id, r_name AS region_name,
+           CAST(r_regionkey AS DOUBLE) * 25.0 - 65.0 AS lat_min,
+           CAST(r_regionkey AS DOUBLE) * 25.0 - 40.0 AS lat_max,
+           CAST(r_regionkey AS DOUBLE) * 60.0 - 170.0 AS lon_min,
+           CAST(r_regionkey AS DOUBLE) * 60.0 - 115.0 AS lon_max
+    FROM region)
+  SELECT region_id, region_name, COUNT(*) AS n_points
+  FROM pts p, rects r
+  WHERE p.lat >= r.lat_min AND p.lat < r.lat_max
+    AND p.lon >= r.lon_min AND p.lon < r.lon_max
+  GROUP BY 1, 2
+""")
+def q_pip_rects(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    rects = geo.region_rects(_t(spark, sf_dir, "region"))
+    return (
+        geo.points_in_rects(pts, rects)
+        .groupBy("region_id", "region_name")
+        .agg(F.count("*").alias("n_points"))
+    )
+
+
+@register("sessionize", """
+  WITH s AS (
+    SELECT user_id, event_id,
+           CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER w > 1800
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+  SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+         COUNT(*) AS n_events
+  FROM s GROUP BY user_id
+""")
+def q_sessionize(spark, sf_dir):
+    ev = geo.sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
+    return ev.groupBy("user_id").agg(
+        F.max("session_id").cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"))
+
+
+@register("dedup_consecutive", """
+  WITH s AS (
+    SELECT user_id, event_type, value,
+           LAG(event_type) OVER w AS pet, LAG(value) OVER w AS pv
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+  SELECT user_id, COUNT(*) AS n_total,
+         CAST(SUM(CASE WHEN pet IS NULL OR pet <> event_type OR pv <> value
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+  FROM s GROUP BY user_id
+""")
+def q_dedup_consecutive(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id", "event_type", "value",
+        F.lag("event_type").over(w).alias("pet"),
+        F.lag("value").over(w).alias("pv"))
+    keep = F.when(
+        F.col("pet").isNull() | (F.col("pet") != F.col("event_type"))
+        | (F.col("pv") != F.col("value")), 1).otherwise(0)
+    return s.groupBy("user_id").agg(
+        F.count("*").alias("n_total"),
+        F.sum(keep).alias("n_kept"))
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: dedup / text / ANN over documents + embeddings
+# ---------------------------------------------------------------------------
+
+@register("dedup_exact", """
+  SELECT md5(text) AS content_hash, COUNT(*) AS n_docs,
+         CAST(MIN(doc_id) AS BIGINT) AS keep_id
+  FROM documents GROUP BY 1
+""")
+def q_dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(docs)
+
+
+_SHINGLES_SQL = """
+    SELECT DISTINCT doc_id, sh AS shingle FROM (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(l) - 2, 1)),
+               i -> array_to_string(list_slice(l, i, i + 2), ' '))) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))
+"""
+
+@register("minhash_lsh_pairs", f"""
+  WITH shingles AS ({_SHINGLES_SQL}),
+  sigs AS (
+    SELECT doc_id,
+           {', '.join(f"MIN(md5('s{i}|' || shingle)) AS mh{i}" for i in range(8))}
+    FROM shingles GROUP BY doc_id),
+  bands AS (
+    {' UNION ALL '.join(
+        f"SELECT doc_id, {b} AS band, md5(mh{2*b} || '|' || mh{2*b+1}) AS band_key FROM sigs"
+        for b in range(4))}
+  )
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+""")
+def q_minhash_lsh(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    sh = dedup.doc_shingles(docs, n=3)
+    sigs = dedup.minhash_signatures(sh, num_hashes=8)
+    return dedup.lsh_candidate_pairs(sigs, num_hashes=8, band_size=2)
+
+
+@register("simhash16", f"""
+  WITH words AS (
+    SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents),
+  votes AS (
+    SELECT doc_id,
+           {', '.join(
+               "CAST(SUM(CASE WHEN substr(h, %d, 1) >= '8' THEN 1 ELSE -1 END) AS BIGINT) AS v%d"
+               % (j + 1, j) for j in range(16))}
+    FROM words GROUP BY doc_id)
+  SELECT doc_id,
+         CAST({' + '.join(f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))}
+              AS BIGINT) AS simhash
+  FROM votes
+""")
+def q_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash16(docs)
+
+
+@register("ngram_jaccard", f"""
+  WITH shingles AS ({_SHINGLES_SQL}),
+  sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+  inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM shingles a JOIN shingles b USING (shingle)
+    WHERE a.doc_id < b.doc_id AND a.doc_id <= 40 AND b.doc_id <= 40
+    GROUP BY 1, 2)
+  SELECT doc_a, doc_b, n_common,
+         CAST(FLOOR(n_common * 1000000.0 / (sa.sz + sb.sz - n_common)) AS BIGINT)
+           AS jaccard_micro
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+""")
+def q_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    sh = dedup.doc_shingles(docs, n=3)
+    return dedup.ngram_jaccard_pairs(sh, max_id=40)
+
+
+@register("token_counts", """
+  SELECT doc_id,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS ws_tokens,
+         CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS alpha_tokens,
+         CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS num_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents
+""")
+def q_token_counts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = textstats.token_counts(docs)
+    return out.select(
+        "doc_id", F.col("ws_tokens").cast("long").alias("ws_tokens"),
+        "alpha_tokens", "num_tokens",
+        F.col("n_chars").cast("long").alias("n_chars"))
+
+
+def _stop_hits_sql(lang: str) -> str:
+    terms = [
+        f"((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' {w} ', ''))) / {len(w) + 2.0})"
+        for w in textstats.STOPWORDS[lang]
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@register("quality_scores", f"""
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+         CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+         CAST(FLOOR({_stop_hits_sql('en')}) AS BIGINT) AS stop_hits,
+         CAST(FLOOR(CAST(length(text) AS DOUBLE)
+              / (length(text) - length(replace(text, ' ', '')) + 1) * 1000000.0) AS BIGINT)
+           AS avg_word_len_micro,
+         CAST(FLOOR(1000000.0
+           * LEAST(1.0, CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) / 50.0)
+           * (1.0 - LEAST(1.0, CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                               * 5.0 / length(text)))) AS BIGINT) AS quality_micro
+  FROM documents
+""")
+def q_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = textstats.quality_scores(docs)
+    return out.select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_punct").cast("long").alias("n_punct"),
+        "stop_hits", "avg_word_len_micro", "quality_micro")
+
+
+@register("language_id", f"""
+  SELECT doc_id,
+         CAST(FLOOR({_stop_hits_sql('en')}) AS BIGINT) AS en_hits,
+         CAST(FLOOR({_stop_hits_sql('de')}) AS BIGINT) AS de_hits,
+         CAST(FLOOR({_stop_hits_sql('fr')}) AS BIGINT) AS fr_hits,
+         CASE WHEN {_stop_hits_sql('en')} >= {_stop_hits_sql('de')}
+               AND {_stop_hits_sql('en')} >= {_stop_hits_sql('fr')} THEN 'en'
+              WHEN {_stop_hits_sql('de')} >= {_stop_hits_sql('fr')} THEN 'de'
+              ELSE 'fr' END AS lang_guess
+  FROM documents
+""")
+def q_langid(spark, sf_dir):
+    return textstats.language_id(_t(spark, sf_dir, "documents"))
+
+
+@register("fingerprints", """
+  SELECT doc_id,
+         list_min(list_transform(
+           generate_series(1, greatest(len(l) - 3, 1)),
+           i -> md5(array_to_string(list_slice(l, i, i + 3), ' ')))) AS fingerprint,
+         CAST(greatest(len(l) - 3, 1) AS INT) AS n_shingles
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+""")
+def q_fingerprints(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - 4, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + 1, 4))))
+    return docs.select(
+        "doc_id", F.array_min(sh).alias("fingerprint"),
+        F.size(sh).alias("n_shingles"))
+
+
+@register("doc_stats", """
+  SELECT lang, source, COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         CAST(FLOOR(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) * 1000.0) AS BIGINT)
+           AS avg_chars_milli
+  FROM documents GROUP BY 1, 2
+""")
+def q_doc_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.floor(F.sum("n_chars").cast("double") / F.count("*") * 1000.0)
+        .cast("long").alias("avg_chars_milli"))
+
+
+_COS_SQL = """
+  WITH pos AS (
+    SELECT vec_id,
+           CAST(unnest(generate_series(1, len(embedding))) AS INT) AS i,
+           unnest(list_transform(generate_series(1, len(embedding)),
+                                 i -> CAST(embedding[i] AS DOUBLE))) AS v
+    FROM embeddings),
+  norms AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM pos GROUP BY vec_id),
+  q AS (SELECT vec_id AS qid, i, v AS qv FROM pos WHERE vec_id < 3),
+  dots AS (
+    SELECT q.qid, p.vec_id, SUM(p.v * q.qv) AS dot
+    FROM pos p JOIN q ON p.i = q.i GROUP BY 1, 2),
+  cos AS (
+    SELECT d.qid, d.vec_id,
+           CAST(FLOOR(d.dot / (na.nrm * nb.nrm) * 1000000.0) AS BIGINT) AS cos_micro
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.qid
+    JOIN norms nb ON nb.vec_id = d.vec_id),
+  r AS (
+    SELECT qid, vec_id, cos_micro,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_micro DESC, vec_id) AS rnk
+    FROM cos)
+  SELECT qid, vec_id, cos_micro, CAST(rnk AS INT) AS rnk
+  FROM r WHERE rnk <= 10
+"""
+
+
+@register("cosine_topk", _COS_SQL)
+def q_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_embedding"))
+    return ann.cosine_topk_bruteforce(emb.select("vec_id", "embedding"), qs, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Engine-native (non-SQL-expressible) queries — rows-only driver check
+# ---------------------------------------------------------------------------
+
+def _sf_docs(spark, sf_dir: str) -> DataFrame:
+    from .corpus import generate_documents
+    n = {"0.001": 12, "0.01": 40, "0.1": 120}.get(
+        sf_dir.rstrip("/").rsplit("sf", 1)[-1], 24)
+    return generate_documents(spark, n)
+
+
+@register("parse_points", None)
+def q_parse_points(spark, sf_dir):
+    return parse_documents(_sf_docs(spark, sf_dir))
+
+
+@register("render_tiles", None)
+def q_render_tiles(spark, sf_dir):
+    from .config import EngineConfig
+    from .plans.pipeline import render_pyramid
+    cfg = EngineConfig(zoom_min=1, zoom_max=10)
+    tiles = render_pyramid(_sf_docs(spark, sf_dir), cfg).tiles
+    return tiles.select("z", "tx", "ty", "point_cnt", "n_events", "n_docs",
+                        F.length("png").alias("png_bytes"))
+
+
+@register("ann_lsh", None)
+def q_ann_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_embedding"))
+    return ann.cosine_topk_lsh(emb.select("vec_id", "embedding"), qs, k=10)
+
+
+@register("multimodal_features", None)
+def q_multimodal(spark, sf_dir):
+    from .operators.multimodal import media_features
+    return media_features(_sf_docs(spark, sf_dir))
