@@ -122,6 +122,35 @@ def draw_line(canvas: np.ndarray, x1: int, y1: int, x2: int, y2: int,
             _put(canvas, xs + ox, ys + oy, color)
 
 
+def lines_points_batch(x1, y1, x2, y2):
+    """Vectorized Bresenham for a batch of lines.
+
+    Returns (xs, ys, reps) where reps[i] is the pixel count of line i and
+    xs/ys concatenate every line's pixels in order (start→end, line after
+    line) — identical pixel sequence to calling :func:`line_points` per
+    line, so a single ordered stamp preserves last-writer-wins semantics.
+    """
+    x1 = np.asarray(x1, np.int64); y1 = np.asarray(y1, np.int64)
+    x2 = np.asarray(x2, np.int64); y2 = np.asarray(y2, np.int64)
+    dx = np.abs(x2 - x1); dy = np.abs(y2 - y1)
+    n = np.maximum(dx, dy) + 1
+    total = int(n.sum())
+    line_start = np.concatenate(([0], np.cumsum(n)[:-1]))
+    t = np.arange(total) - np.repeat(line_start, n)
+    sx = np.repeat(np.sign(x2 - x1), n)
+    sy = np.repeat(np.sign(y2 - y1), n)
+    rdx = np.repeat(dx, n); rdy = np.repeat(dy, n)
+    rx1 = np.repeat(x1, n); ry1 = np.repeat(y1, n)
+    major = rdx >= rdy
+    safe_dx = np.where(rdx > 0, rdx, 1)
+    safe_dy = np.where(rdy > 0, rdy, 1)
+    xs = np.where(major, rx1 + sx * t,
+                  rx1 + sx * ((2 * t * rdx + rdy) // (2 * safe_dy)))
+    ys = np.where(major, ry1 + sy * ((2 * t * rdy + rdx) // (2 * safe_dx)),
+                  ry1 + sy * t)
+    return xs, ys, n
+
+
 def fill_ellipse(canvas: np.ndarray, cx: int, cy: int, dw: int, dh: int, color: int) -> None:
     """Filled ellipse with center (cx,cy), axis diameters (dw,dh) —
     gdImageFilledEllipse-equivalent: rows at dy in [-h/2, h/2], each row's
@@ -134,6 +163,19 @@ def fill_ellipse(canvas: np.ndarray, cx: int, cy: int, dw: int, dh: int, color: 
     half_w = np.trunc(a * np.sqrt(np.maximum(0.0, 1.0 - (dy / b) ** 2)) + 0.5).astype(np.int64)
     for row, hw in zip(cy + dy, half_w):
         fill_rect(canvas, cx - int(hw), int(row), cx + int(hw), int(row), color)
+
+
+def ellipse_pixels(cx: int, cy: int, dw: int, dh: int) -> tuple[np.ndarray, np.ndarray]:
+    """Pixel list of :func:`fill_ellipse` (row spans, top to bottom)."""
+    a, b = max(dw // 2, 0), max(dh // 2, 0)
+    if a == 0 or b == 0:
+        return np.asarray([cx], np.int64), np.asarray([cy], np.int64)
+    dy = np.arange(-b, b + 1)
+    half_w = np.trunc(a * np.sqrt(np.maximum(0.0, 1.0 - (dy / b) ** 2)) + 0.5).astype(np.int64)
+    counts = 2 * half_w + 1
+    ys = np.repeat(cy + dy, counts)
+    xs = np.concatenate([np.arange(cx - h, cx + h + 1) for h in half_w])
+    return xs, ys
 
 
 def stamp_pixels(canvas: np.ndarray, xs: np.ndarray, ys: np.ndarray,

@@ -85,20 +85,36 @@ def _signature(vec: Column, planes: list[list[float]]) -> Column:
 
 
 def cosine_topk_lsh(vectors: DataFrame, queries: DataFrame, k: int = 10,
-                    n_planes: int = 8, dim: int = 64) -> DataFrame:
-    """Hyperplane-LSH bucketed ANN: probe the query's bucket + all 1-bit
-    neighbor buckets, exact re-rank within."""
-    planes = _hyperplanes(dim, n_planes)
-    v = vectors.withColumn("bucket", _signature(F.col("embedding"), planes))
-    qsig = queries.withColumn("sig", _signature(F.col("q_embedding"), planes))
-    probes = qsig.withColumn(
-        "bucket",
-        F.explode(F.array(
-            F.col("sig"),
-            *[F.col("sig").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)],
-        )),
-    ).select("qid", "q_embedding", "bucket")
-    j = with_cosine(v.join(F.broadcast(probes), "bucket"))
+                    n_tables: int = 8, planes_per_table: int = 4,
+                    dim: int = 64) -> DataFrame:
+    """Multi-table hyperplane-LSH ANN: L independent hash tables of
+    random-hyperplane signatures; a vector is a candidate for a query if
+    they share a bucket in ANY table; exact cosine re-rank inside the
+    candidate set.  Standard LSH recall/cost dial: more tables → higher
+    recall, more candidates.  The equi-join on (table, bucket) replaces
+    the brute-force cross join — the scale path for 10^9+ vectors."""
+    planes = _hyperplanes(dim, n_tables * planes_per_table)
+    tables = [planes[t * planes_per_table:(t + 1) * planes_per_table]
+              for t in range(n_tables)]
+
+    def bucketed(df: DataFrame, vec_col: str) -> DataFrame:
+        rows = F.array(*[
+            F.struct(F.lit(t).alias("tbl"),
+                     _signature(F.col(vec_col), tables[t]).alias("bkt"))
+            for t in range(n_tables)
+        ])
+        return df.withColumn("tb", F.explode(rows)).select(
+            "*", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt")
+        ).drop("tb")
+
+    v = bucketed(vectors, "embedding")
+    q = bucketed(queries, "q_embedding").select("qid", "q_embedding", "tbl", "bkt")
+    cand = (
+        v.join(F.broadcast(q), ["tbl", "bkt"])
+        .select("qid", "vec_id", "embedding", "q_embedding")
+        .dropDuplicates(["qid", "vec_id"])
+    )
+    j = with_cosine(cand)
     w = Window.partitionBy("qid").orderBy(F.desc("cos_micro"), F.asc("vec_id"))
     return (
         j.withColumn("rnk", F.row_number().over(w))

@@ -97,7 +97,15 @@ def paired_points(points: DataFrame) -> DataFrame:
 
 
 def build_events(points: DataFrame, cfg: EngineConfig) -> DataFrame:
-    """The full event relation for speed-color (default) or heatmap mode."""
+    """The full event relation for speed-color (default) or heatmap mode.
+
+    Single-generator design: each (point, zoom) row emits an *array* of
+    event structs — stamp, optional same-tile line, and the cross-tile
+    candidates as a nested transform+filter over the tile rectangle —
+    then ONE ``explode``.  Compared to a union of per-kind relations this
+    computes the window pairing and projections exactly once and keeps
+    the whole thing inside one WholeStageCodegen span (no recompute of
+    shared lineage, no union of 3 scans)."""
     trk = paired_points(points.filter(F.col("kind") == "trkpt"))
     trk = with_zooms(trk, cfg)
     trk = with_tile_pixel(trk)
@@ -107,6 +115,13 @@ def build_events(points: DataFrame, cfg: EngineConfig) -> DataFrame:
     key = [F.col("z"), F.col("tx"), F.col("ty"), F.col("doc_id"),
            F.col("seg_order"), F.col("pt_idx")]
 
+    # Three relational branches off the SAME windowed projection — Spark
+    # reuses the window exchange across them (ReusedExchange), and every
+    # branch stays inside whole-stage codegen.  (A single array-generator
+    # variant using transform/filter higher-order functions was measured
+    # slower: HOFs are interpreted, not codegen'd, and anti-scaled with
+    # cores.)
+
     # --- stamps (gpx2tiles.c:627-654): every track point, every zoom
     stamps = trk.select(
         *key, F.lit(ET_STAMP).alias("etype"),
@@ -114,36 +129,37 @@ def build_events(points: DataFrame, cfg: EngineConfig) -> DataFrame:
         F.lit(0).alias("x2"), F.lit(0).alias("y2"), color,
     )
 
-    # --- lines (F2/F3/F6 + same/cross-tile split)
     can_line = (
         F.col("prev_lat").isNotNull()
         & (F.lit(cfg.heatmap) | (F.col("z") >= F.lit(cfg.z_no_lines)))
         & ~((F.col("flags").bitwiseAND(F.lit(8)) != 0)
             & (F.col("speed") * F.lit(3.6) < F.lit(cfg.no_lines_speed_kph)))
     )
-    lines_src = trk.filter(can_line)
-
     same_tile = (F.col("tx") == F.col("p_tx")) & (F.col("ty") == F.col("p_ty"))
-    same_lines = lines_src.filter(
-        same_tile & ((F.col("px") != F.col("p_px")) | (F.col("py") != F.col("p_py")))
+
+    # gd draws pix -> ppix in the same-tile branch (gpx2tiles.c:671)
+    same_lines = trk.filter(
+        can_line & same_tile
+        & ((F.col("px") != F.col("p_px")) | (F.col("py") != F.col("p_py")))
     ).select(
         *key, F.lit(ET_LINE).alias("etype"),
-        # gd draws pix -> ppix in the same-tile branch (gpx2tiles.c:671)
         F.col("px").alias("x1"), F.col("py").alias("y1"),
         F.col("p_px").alias("x2"), F.col("p_py").alias("y2"), color,
     )
 
     # cross-tile: explode the tile rectangle between the endpoint tiles
-    # (gpx2tiles.c:675-703); sequence() steps ±1 automatically
+    # (gpx2tiles.c:675-703); sequence() steps ±1 automatically; the CCW
+    # border-crossing predicate prunes candidates — all codegen'd
     cross = (
-        lines_src.filter(~same_tile)
+        trk.filter(can_line & ~same_tile)
         .withColumn("cx", F.explode(F.sequence(F.col("p_tx"), F.col("tx"))))
         .withColumn("cy", F.explode(F.sequence(F.col("p_ty"), F.col("ty"))))
         .withColumn("lx1", F.col("p_px") - F.lit(TILE_W) * (F.col("cx") - F.col("p_tx")))
         .withColumn("ly1", F.col("p_py") - F.lit(TILE_H) * (F.col("cy") - F.col("p_ty")))
         .withColumn("lx2", F.col("px") - F.lit(TILE_W) * (F.col("cx") - F.col("tx")))
         .withColumn("ly2", F.col("py") - F.lit(TILE_H) * (F.col("cy") - F.col("ty")))
-        .filter(crossing_tile_col(F.col("lx1"), F.col("ly1"), F.col("lx2"), F.col("ly2")))
+        .filter(crossing_tile_col(F.col("lx1"), F.col("ly1"),
+                                  F.col("lx2"), F.col("ly2")))
     )
     cross_lines = cross.select(
         F.col("z"), F.col("cx").alias("tx"), F.col("cy").alias("ty"),
@@ -160,14 +176,16 @@ def build_events(points: DataFrame, cfg: EngineConfig) -> DataFrame:
     wz = with_tile_pixel(with_zooms(wpts, cfg)).filter(
         F.col("z") > F.lit(cfg.z_no_wpts)
     )
+    key = [F.col("z"), F.col("tx"), F.col("ty"), F.col("doc_id"),
+           F.col("seg_order"), F.col("pt_idx")]
     wpt_stamps = wz.select(
         *key, F.lit(ET_STAMP).alias("etype"),
         F.col("px").alias("x1"), F.col("py").alias("y1"),
         F.lit(0).alias("x2"), F.lit(0).alias("y2"),
         (F.lit(-1) if cfg.heatmap else point_color_col(cfg)).alias("color"),
     )
-    out = out.unionByName(wpt_stamps).unionByName(_wpt_circles(wz, cfg))
-    return out
+    return out.unionByName(wpt_stamps.select(*out.columns)) \
+              .unionByName(_wpt_circles(wz, cfg).select(*out.columns))
 
 
 def _wpt_circles(wz: DataFrame, cfg: EngineConfig) -> DataFrame:

@@ -44,35 +44,73 @@ TILES_SCHEMA = T.StructType([
 
 def _fold_tile(pdf: pd.DataFrame, cfg: EngineConfig,
                base: np.ndarray | None) -> tuple[np.ndarray, int]:
-    """Fold one tile's events (already sorted) into a canvas."""
+    """Fold one tile's events (already sorted) into a canvas (pandas
+    adapter over :func:`_fold_arrays` — used by the cogroup/salted paths)."""
+    cols = {c: pdf[c].to_numpy() for c in ("z", "etype", "x1", "y1", "x2",
+                                           "y2", "color")}
+    return _fold_arrays(cols, 0, len(pdf), cfg, base)
+
+
+def _fold_arrays(cols: dict, s: int, e: int, cfg: EngineConfig,
+                 base: np.ndarray | None) -> tuple[np.ndarray, int]:
+    """Numpy-only event fold over cols[s:e] — no pandas in the loop."""
     canvas = base if base is not None else blank_tile()
-    z = int(pdf["z"].iloc[0])
+    z = int(cols["z"][s])
     thick = max(1, cfg.thickness.get(z, 0))
-    et = pdf["etype"].to_numpy()
-    x1 = pdf["x1"].to_numpy()
-    y1 = pdf["y1"].to_numpy()
-    x2 = pdf["x2"].to_numpy()
-    y2 = pdf["y2"].to_numpy()
-    color = pdf["color"].to_numpy()
-    n = len(pdf)
+    et = cols["etype"][s:e]
+    x1 = cols["x1"][s:e]
+    y1 = cols["y1"][s:e]
+    x2 = cols["x2"][s:e]
+    y2 = cols["y2"][s:e]
+    color = cols["color"][s:e]
+    n = e - s
 
     if not cfg.heatmap:
-        i = 0
-        while i < n:
-            if et[i] == ET_STAMP:
-                j = i
-                while j < n and et[j] == ET_STAMP:
-                    j += 1
-                draw.stamp_pixels(canvas, x1[i:j], y1[i:j], color[i:j])
-                i = j
-            elif et[i] == ET_LINE:
-                draw.draw_line(canvas, x1[i], y1[i], x2[i], y2[i],
-                               int(color[i]), thick)
-                i += 1
-            else:
-                draw.fill_ellipse(canvas, int(x1[i]), int(y1[i]),
-                                  int(x2[i]), int(x2[i]), int(color[i]))
-                i += 1
+        # Fully vectorized fold: compute every event's pixel list in batch
+        # (stamps = 1 px, lines = batched Bresenham, circles = row spans),
+        # tag each pixel with its event index, stable-sort by it, and make
+        # ONE ordered fancy assignment — numpy assigns duplicate indices
+        # in array order, so last-writer-wins equals the sequential fold.
+        segs: list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = []
+
+        stamp_m = et == ET_STAMP
+        if stamp_m.any():
+            idx = np.flatnonzero(stamp_m)
+            segs.append((x1[idx], y1[idx], color[idx], idx))
+
+        line_m = et == ET_LINE
+        if line_m.any():
+            idx = np.flatnonzero(line_m)
+            xs, ys, reps = draw.lines_points_batch(
+                x1[idx], y1[idx], x2[idx], y2[idx])
+            cols = np.repeat(color[idx], reps)
+            eidx = np.repeat(idx, reps)
+            if thick > 1:
+                half = thick // 2
+                offs = [(ox, oy) for ox in range(-half, thick - half)
+                        for oy in range(-half, thick - half)]
+                xs = np.concatenate([xs + ox for ox, _ in offs])
+                ys = np.concatenate([ys + oy for _, oy in offs])
+                cols = np.tile(cols, len(offs))
+                eidx = np.tile(eidx, len(offs))
+            segs.append((xs, ys, cols, eidx))
+
+        circ_m = et == ET_CIRCLE
+        if circ_m.any():
+            for i in np.flatnonzero(circ_m):
+                cxs, cys = draw.ellipse_pixels(int(x1[i]), int(y1[i]),
+                                               int(x2[i]), int(x2[i]))
+                segs.append((cxs, cys,
+                             np.full(len(cxs), color[i], np.int64),
+                             np.full(len(cxs), i, np.int64)))
+
+        if segs:
+            xs = np.concatenate([s[0] for s in segs])
+            ys = np.concatenate([s[1] for s in segs])
+            cols = np.concatenate([s[2] for s in segs])
+            eidx = np.concatenate([s[3] for s in segs])
+            order = np.argsort(eidx, kind="stable")
+            draw.stamp_pixels(canvas, xs[order], ys[order], cols[order])
     else:
         big = z >= cfg.z_heatmap_bigdots
         h, w = canvas.shape[:2]
@@ -118,16 +156,6 @@ def rasterize(events: DataFrame, cfg: EngineConfig,
               store: DataFrame | None = None) -> DataFrame:
     """events (+ optional existing tile store (z,tx,ty,png)) → tiles."""
 
-    def fold_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = _sort_events(pdf)
-        canvas, point_cnt = _fold_tile(pdf, cfg, None)
-        return pd.DataFrame([{
-            "z": int(pdf["z"].iloc[0]), "tx": int(pdf["tx"].iloc[0]),
-            "ty": int(pdf["ty"].iloc[0]), "point_cnt": point_cnt,
-            "n_events": len(pdf), "n_docs": pdf["doc_id"].nunique(),
-            "png": encode_png(canvas),
-        }])
-
     def fold_cogroup(ev: pd.DataFrame, old: pd.DataFrame) -> pd.DataFrame:
         if not len(ev):
             return pd.DataFrame(columns=[f.name for f in TILES_SCHEMA.fields])
@@ -144,12 +172,205 @@ def rasterize(events: DataFrame, cfg: EngineConfig,
         }])
 
     if store is None:
-        return events.groupBy("z", "tx", "ty").applyInPandas(fold_group, TILES_SCHEMA)
+        return _rasterize_partitions(events, cfg)
     return (
         events.groupBy("z", "tx", "ty")
         .cogroup(store.groupBy("z", "tx", "ty"))
         .applyInPandas(lambda ev, old: fold_cogroup(ev, old), TILES_SCHEMA)
     )
+
+
+def _rasterize_partitions(events: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Fast path: one shuffle keyed (z,tx,ty) + in-partition sort, then a
+    partition-level ``mapInPandas`` that slices contiguous tile groups out
+    of each Arrow batch.  Same result as groupBy().applyInPandas but
+    without the per-group pandas overhead (one tile = one numpy slice,
+    not one pandas DataFrame + one UDF invocation).
+
+    A tile's rows can straddle Arrow batch boundaries, so the folder
+    carries the trailing partial group into the next batch."""
+
+    # the JVM sort fixes the painter order; python only needs numeric
+    # columns — the doc_id string is replaced by a hash AFTER the sort
+    # (projection preserves row order) so the Arrow→pandas payload is
+    # string-free (5-10× cheaper conversion at millions of events)
+    part = (
+        events.repartition("z", "tx", "ty")
+        .sortWithinPartitions("z", "tx", "ty", "doc_id", "seg_order",
+                              "pt_idx", "etype")
+        .select("z", "tx", "ty", "etype", "x1", "y1", "x2", "y2", "color",
+                F.xxhash64("doc_id").alias("doc_key"))
+    )
+
+    _COLS = ("z", "tx", "ty", "etype", "x1", "y1", "x2", "y2", "color",
+             "doc_key")
+
+    def fold_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: dict | None = None
+
+        def finish(cols: dict, s: int, e: int) -> dict:
+            canvas, point_cnt = _fold_arrays(cols, s, e, cfg, None)
+            return {
+                "z": int(cols["z"][s]), "tx": int(cols["tx"][s]),
+                "ty": int(cols["ty"][s]), "point_cnt": point_cnt,
+                "n_events": e - s,
+                "n_docs": len(np.unique(cols["doc_key"][s:e])),
+                "png": encode_png(canvas),
+            }
+
+        for pdf in batches:
+            cols = {c: pdf[c].to_numpy() for c in _COLS}
+            if carry is not None:
+                cols = {c: np.concatenate([carry[c], cols[c]]) for c in _COLS}
+                carry = None
+            m = len(cols["z"])
+            if not m:
+                continue
+            keys = (cols["z"].astype(np.int64) << 40) \
+                 ^ (cols["tx"].astype(np.int64) << 20) \
+                 ^ cols["ty"].astype(np.int64)
+            # boundaries of contiguous (z,tx,ty) runs
+            change = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [m]))
+            out = [finish(cols, s, e)
+                   for s, e in zip(starts[:-1], ends[:-1])]
+            carry = {c: cols[c][starts[-1]:ends[-1]].copy() for c in _COLS}
+            if out:
+                yield pd.DataFrame(out)
+        if carry is not None and len(carry["z"]):
+            yield pd.DataFrame([finish(carry, 0, len(carry["z"]))])
+
+    return part.mapInPandas(fold_partition, TILES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Skew handling: range-salted two-phase render for hot tiles
+# ---------------------------------------------------------------------------
+
+def doc_salt_boundaries(events: DataFrame, buckets: int,
+                        sample_fraction: float = 0.1) -> list[str]:
+    """Order-preserving salt boundaries over doc_id: sample distinct doc
+    ids, take evenly spaced split points.  Sampling keeps this scalable
+    (at 10^12 docs an exact distinct+sort is off the table); boundaries
+    only affect load balance, never correctness."""
+    ids = [r.doc_id for r in (
+        events.select("doc_id").distinct()
+        .sample(False, min(1.0, sample_fraction), seed=7)
+        .orderBy("doc_id").collect())]
+    if len(ids) < buckets:
+        ids = [r.doc_id for r in
+               events.select("doc_id").distinct().orderBy("doc_id").collect()]
+    if not ids:
+        return []
+    step = max(1, len(ids) // buckets)
+    return ids[step::step][: buckets - 1]
+
+
+def rasterize_salted(events: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Two-phase skew-safe render (speed-color mode only).
+
+    Urban-corridor skew makes a handful of (z,tx,ty) groups carry most
+    events (at z=1 the whole world is 4 tiles) — a plain per-tile group
+    is maximally skewed and AQE cannot split a single pandas group.
+
+    Phase A salts *hot* tiles by contiguous doc_id ranges (order-
+    preserving boundaries) and renders partial canvases per (tile, salt).
+    Phase B overlays the partials per tile in salt order.  Because salt
+    ranges are contiguous in doc order and all draw ops are opaque
+    writes, overlay-in-salt-order == the unsalted painter fold exactly.
+    Heatmap mode reads canvas state across documents (intensify), so it
+    must stay on the unsalted path — asserted here.
+    """
+    assert not cfg.heatmap, "heatmap accumulation is order-coupled; use rasterize()"
+    buckets = max(2, cfg.salt_buckets)
+    bounds = doc_salt_boundaries(events, buckets)
+    if not bounds:
+        return _rasterize_partitions(events, cfg)
+
+    salt = F.lit(0)
+    for b in bounds:
+        salt = salt + F.when(F.col("doc_id") >= F.lit(b), 1).otherwise(0)
+
+    # hot tiles are by definition few — collect their keys and split with
+    # a literal isin (codegen hash probe, no join, no broadcast exchange)
+    hot_rows = (events.groupBy("z", "tx", "ty").count()
+                .filter(F.col("count") > cfg.hot_tile_threshold)
+                .select("z", "tx", "ty").collect())
+    if not hot_rows:
+        return _rasterize_partitions(events, cfg)
+    key_col = (F.col("z").cast("long") * F.lit(1 << 48)
+               + F.col("tx").cast("long") * F.lit(1 << 24)
+               + F.col("ty").cast("long"))
+    hot_keys = [(r.z << 48) + (r.tx << 24) + r.ty for r in hot_rows]
+    # ONLY hot tiles pay the two-phase cost (partial canvases + overlay
+    # merge); the cold majority keeps the single-pass fold with no extra
+    # PNG decode/encode round-trip
+    cold = events.filter(~key_col.isin(hot_keys))
+    ev = events.filter(key_col.isin(hot_keys)).withColumn("salt", salt)
+
+    part = (
+        ev.repartition("z", "tx", "ty", "salt")
+        .sortWithinPartitions("z", "tx", "ty", "salt", "doc_id", "seg_order",
+                              "pt_idx", "etype")
+    )
+
+    partial_schema = T.StructType(TILES_SCHEMA.fields + [
+        T.StructField("salt", T.IntegerType(), False)])
+
+    def fold_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+
+        def finish(group: pd.DataFrame) -> dict:
+            canvas, point_cnt = _fold_tile(group, cfg, None)
+            return {
+                "z": int(group["z"].iloc[0]), "tx": int(group["tx"].iloc[0]),
+                "ty": int(group["ty"].iloc[0]), "point_cnt": point_cnt,
+                "n_events": len(group), "n_docs": group["doc_id"].nunique(),
+                "png": encode_png(canvas), "salt": int(group["salt"].iloc[0]),
+            }
+
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            keys = (pdf["z"].to_numpy().astype(np.int64) << 48) \
+                 ^ (pdf["tx"].to_numpy().astype(np.int64) << 28) \
+                 ^ (pdf["ty"].to_numpy().astype(np.int64) << 8) \
+                 ^ pdf["salt"].to_numpy().astype(np.int64)
+            change = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(pdf)]))
+            out = [finish(pdf.iloc[s:e]) for s, e in zip(starts[:-1], ends[:-1])]
+            carry = pdf.iloc[starts[-1]:ends[-1]].copy()
+            if out:
+                yield pd.DataFrame(out)
+        if carry is not None and len(carry):
+            yield pd.DataFrame([finish(carry)])
+
+    partials = part.mapInPandas(fold_partition, partial_schema)
+
+    def merge_tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("salt")
+        canvas = decode_png(bytes(pdf["png"].iloc[0]))
+        for i in range(1, len(pdf)):
+            overlay = decode_png(bytes(pdf["png"].iloc[i]))
+            mask = overlay[..., 3] != 0
+            canvas[mask] = overlay[mask]
+        return pd.DataFrame([{
+            "z": int(pdf["z"].iloc[0]), "tx": int(pdf["tx"].iloc[0]),
+            "ty": int(pdf["ty"].iloc[0]),
+            "point_cnt": int(pdf["point_cnt"].sum()),
+            "n_events": int(pdf["n_events"].sum()),
+            "n_docs": int(pdf["n_docs"].sum()),
+            "png": encode_png(canvas),
+        }])
+
+    merged_hot = partials.groupBy("z", "tx", "ty").applyInPandas(
+        merge_tile, TILES_SCHEMA)
+    return merged_hot.unionByName(_rasterize_partitions(cold, cfg))
 
 
 def write_tile_pyramid(tiles: DataFrame, out_dir: str) -> None:

@@ -37,7 +37,11 @@ def render_pyramid(documents: DataFrame, cfg: EngineConfig | None = None,
     cfg = cfg or EngineConfig()
     points = parse_documents(documents)
     events = build_events(points, cfg)
-    tiles = rasterize(events, cfg, store=store)
+    if cfg.salt_buckets > 0 and not cfg.heatmap and store is None:
+        from ..operators.raster import rasterize_salted
+        tiles = rasterize_salted(events, cfg)
+    else:
+        tiles = rasterize(events, cfg, store=store)
     if out_dir is not None:
         tiles.persist()
         write_tile_pyramid(tiles, out_dir)

@@ -1,0 +1,37 @@
+"""Salted two-phase render must equal the unsalted painter fold exactly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gpx2tiles_spark.config import EngineConfig
+from gpx2tiles_spark.corpus import generate_documents
+from gpx2tiles_spark.operators.events import build_events
+from gpx2tiles_spark.operators.parse import parse_documents
+from gpx2tiles_spark.operators.raster import rasterize, rasterize_salted
+from gpx2tiles_spark.pngcodec import decode_png
+
+
+def test_salted_equals_unsalted(spark):
+    # hotspot corpus → the same z1-z8 tiles get most events; tiny threshold
+    # forces nearly every tile through the salted path
+    cfg_plain = EngineConfig(zoom_min=1, zoom_max=8)
+    cfg_salt = EngineConfig(zoom_min=1, zoom_max=8, salt_buckets=4,
+                            hot_tile_threshold=10)
+    docs = generate_documents(spark, 16, partitions=4).cache()
+    ev = build_events(parse_documents(docs), cfg_plain).persist()
+
+    plain = {(r.z, r.tx, r.ty): r for r in rasterize(ev, cfg_plain).collect()}
+    salted = {(r.z, r.tx, r.ty): r for r in rasterize_salted(ev, cfg_salt).collect()}
+
+    assert set(plain) == set(salted)
+    n_multi = 0
+    for k in plain:
+        assert salted[k].point_cnt == plain[k].point_cnt, k
+        assert salted[k].n_events == plain[k].n_events, k
+        assert decode_png(bytes(salted[k].png)).tobytes() == \
+            decode_png(bytes(plain[k].png)).tobytes(), k
+        if salted[k].n_docs > 1:
+            n_multi += 1
+    assert n_multi > 0  # the test actually exercised multi-doc merges
+    ev.unpersist()
