@@ -31,7 +31,7 @@ from .. import projection as P
 from ..colors import speed_clridx_col
 from ..config import (SPDCLR, SPEED_FIXED_COLOR, SPEED_FROM_DATA, TILE_H,
                       TILE_W, EngineConfig, POINT_CIRCLE_COLOR)
-from .tiles import with_tile_pixel, with_zooms
+from .tiles import with_pixel, with_tile, with_tile_pixel, with_zooms
 
 # etype doubles as the intra-point draw priority (gpx2tiles.c:654,658,671)
 ET_STAMP = 0
@@ -97,19 +97,15 @@ def paired_points(points: DataFrame) -> DataFrame:
 
 
 def build_events(points: DataFrame, cfg: EngineConfig) -> DataFrame:
-    """The full event relation for speed-color (default) or heatmap mode.
-
-    Single-generator design: each (point, zoom) row emits an *array* of
-    event structs — stamp, optional same-tile line, and the cross-tile
-    candidates as a nested transform+filter over the tile rectangle —
-    then ONE ``explode``.  Compared to a union of per-kind relations this
-    computes the window pairing and projections exactly once and keeps
-    the whole thing inside one WholeStageCodegen span (no recompute of
-    shared lineage, no union of 3 scans)."""
+    """The full event relation for speed-color (default) or heatmap mode."""
     trk = paired_points(points.filter(F.col("kind") == "trkpt"))
     trk = with_zooms(trk, cfg)
-    trk = with_tile_pixel(trk)
-    trk = with_tile_pixel(trk, lat="prev_lat", lon="prev_lon", prefix="p_")
+    # tile coords for both endpoints up front (cheap); the expensive
+    # inverse-Mercator PIXEL projection is deferred per branch so it runs
+    # on exactly the rows that need it (stamps: cur endpoint on all rows;
+    # line branches: prev endpoint only on rows surviving the filters)
+    trk = with_tile(trk)
+    trk = with_tile(trk, lat="prev_lat", lon="prev_lon", prefix="p_")
 
     color = (F.lit(-1) if cfg.heatmap else point_color_col(cfg)).alias("color")
     key = [F.col("z"), F.col("tx"), F.col("ty"), F.col("doc_id"),
@@ -123,7 +119,7 @@ def build_events(points: DataFrame, cfg: EngineConfig) -> DataFrame:
     # cores.)
 
     # --- stamps (gpx2tiles.c:627-654): every track point, every zoom
-    stamps = trk.select(
+    stamps = with_pixel(trk).select(
         *key, F.lit(ET_STAMP).alias("etype"),
         F.col("px").alias("x1"), F.col("py").alias("y1"),
         F.lit(0).alias("x2"), F.lit(0).alias("y2"), color,
@@ -138,9 +134,10 @@ def build_events(points: DataFrame, cfg: EngineConfig) -> DataFrame:
     same_tile = (F.col("tx") == F.col("p_tx")) & (F.col("ty") == F.col("p_ty"))
 
     # gd draws pix -> ppix in the same-tile branch (gpx2tiles.c:671)
-    same_lines = trk.filter(
-        can_line & same_tile
-        & ((F.col("px") != F.col("p_px")) | (F.col("py") != F.col("p_py")))
+    same_src = with_pixel(with_pixel(trk.filter(can_line & same_tile)),
+                          lat="prev_lat", lon="prev_lon", prefix="p_")
+    same_lines = same_src.filter(
+        (F.col("px") != F.col("p_px")) | (F.col("py") != F.col("p_py"))
     ).select(
         *key, F.lit(ET_LINE).alias("etype"),
         F.col("px").alias("x1"), F.col("py").alias("y1"),
@@ -151,7 +148,8 @@ def build_events(points: DataFrame, cfg: EngineConfig) -> DataFrame:
     # (gpx2tiles.c:675-703); sequence() steps ±1 automatically; the CCW
     # border-crossing predicate prunes candidates — all codegen'd
     cross = (
-        trk.filter(can_line & ~same_tile)
+        with_pixel(with_pixel(trk.filter(can_line & ~same_tile)),
+                   lat="prev_lat", lon="prev_lon", prefix="p_")
         .withColumn("cx", F.explode(F.sequence(F.col("p_tx"), F.col("tx"))))
         .withColumn("cy", F.explode(F.sequence(F.col("p_ty"), F.col("ty"))))
         .withColumn("lx1", F.col("p_px") - F.lit(TILE_W) * (F.col("cx") - F.col("p_tx")))

@@ -25,15 +25,28 @@ def with_zooms(points: DataFrame, cfg: EngineConfig) -> DataFrame:
     )
 
 
+def with_tile(df: DataFrame, lat: str = "lat", lon: str = "lon",
+              z: str | int = "z", prefix: str = "") -> DataFrame:
+    """Add tile (tx,ty) columns only (cheap: 3 transcendentals/point)."""
+    zc: Column | int = F.col(z) if isinstance(z, str) else z
+    df = df.withColumn(prefix + "tx", P.tilex_col(F.col(lon), zc))
+    return df.withColumn(prefix + "ty", P.tiley_col(F.col(lat), zc))
+
+
+def with_pixel(df: DataFrame, lat: str = "lat", lon: str = "lon",
+               z: str | int = "z", prefix: str = "") -> DataFrame:
+    """Add in-tile pixel (px,py) from existing tile columns (expensive:
+    the inverse-Mercator bbox — defer until after filters)."""
+    zc: Column | int = F.col(z) if isinstance(z, str) else z
+    px, py = P.pixel_cols(F.col(lon), F.col(lat),
+                          F.col(prefix + "tx"), F.col(prefix + "ty"), zc)
+    return df.withColumn(prefix + "px", px).withColumn(prefix + "py", py)
+
+
 def with_tile_pixel(df: DataFrame, lat: str = "lat", lon: str = "lon",
                     z: str | int = "z", prefix: str = "") -> DataFrame:
     """Add tile (tx,ty) and in-tile pixel (px,py) columns."""
-    zc: Column | int = F.col(z) if isinstance(z, str) else z
-    latc, lonc = F.col(lat), F.col(lon)
-    tx, ty = P.tilex_col(lonc, zc), P.tiley_col(latc, zc)
-    df = df.withColumn(prefix + "tx", tx).withColumn(prefix + "ty", ty)
-    px, py = P.pixel_cols(lonc, latc, F.col(prefix + "tx"), F.col(prefix + "ty"), zc)
-    return df.withColumn(prefix + "px", px).withColumn(prefix + "py", py)
+    return with_pixel(with_tile(df, lat, lon, z, prefix), lat, lon, z, prefix)
 
 
 def tile_point_counts(points: DataFrame, cfg: EngineConfig) -> DataFrame:

@@ -630,6 +630,265 @@ def q_cosine_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# More reference-operator queries (R3/R4/R9/W3, heatmap phase-1, rollup)
+# ---------------------------------------------------------------------------
+
+@register("wpt_circle_rect", f"""
+  WITH pix AS (
+    SELECT event_id AS pid,
+           CAST(event_id * 37 % 256 AS INT) AS px,
+           CAST(event_id * 59 % 256 AS INT) AS py,
+           CAST(event_id * 7 % 1024 AS INT) AS tx,
+           CAST(event_id * 11 % 1024 AS INT) AS ty
+    FROM events)
+  SELECT pid,
+         GREATEST(LEAST(CASE WHEN px - 9 < 0
+             THEN tx + CAST(TRUNC((px - 9) / 256.0) AS INT) - 1 ELSE tx END, 1023), 0) AS lt_x,
+         GREATEST(LEAST(CASE WHEN py - 9 < 0
+             THEN ty + CAST(TRUNC((py - 9) / 256.0) AS INT) - 1 ELSE ty END, 1023), 0) AS lt_y,
+         GREATEST(LEAST(CASE WHEN px + 9 > 256
+             THEN tx + CAST(TRUNC((px + 9) / 256.0) AS INT) ELSE tx END, 1023), 0) AS rb_x,
+         GREATEST(LEAST(CASE WHEN py + 9 > 256
+             THEN ty + CAST(TRUNC((py + 9) / 256.0) AS INT) ELSE ty END, 1023), 0) AS rb_y,
+         px + 1 AS c0_x, py + 1 AS c0_y
+  FROM pix
+""")
+def q_wpt_circle_rect(spark, sf_dir):
+    """Waypoint-circle neighbor-tile rect (gpx2tiles.c:531-567) on synthetic
+    integer pixels — the exact C arithmetic incl. truncating division and
+    the (r+256)/256 center offset, at a 1024-tile z=10 grid."""
+    ev = _t(spark, sf_dir, "events")
+    e = F.col("event_id")
+    pix = ev.select(
+        e.alias("pid"),
+        (e * 37 % 256).cast("int").alias("px"),
+        (e * 59 % 256).cast("int").alias("py"),
+        (e * 7 % 1024).cast("int").alias("tx"),
+        (e * 11 % 1024).cast("int").alias("ty"),
+    )
+    r = 9
+    n_max = 1023
+
+    def clamp(c):
+        return F.greatest(F.least(c, F.lit(n_max)), F.lit(0))
+
+    def cdiv(c):
+        return (c.cast("double") / F.lit(256.0)).cast("int")
+
+    return pix.select(
+        "pid",
+        clamp(F.when(F.col("px") - r < 0,
+                     F.col("tx") + cdiv(F.col("px") - F.lit(r)) - 1)
+              .otherwise(F.col("tx"))).alias("lt_x"),
+        clamp(F.when(F.col("py") - r < 0,
+                     F.col("ty") + cdiv(F.col("py") - F.lit(r)) - 1)
+              .otherwise(F.col("ty"))).alias("lt_y"),
+        clamp(F.when(F.col("px") + r > 256,
+                     F.col("tx") + cdiv(F.col("px") + F.lit(r)))
+              .otherwise(F.col("tx"))).alias("rb_x"),
+        clamp(F.when(F.col("py") + r > 256,
+                     F.col("ty") + cdiv(F.col("py") + F.lit(r)))
+              .otherwise(F.col("ty"))).alias("rb_y"),
+        (F.col("px") + 1).alias("c0_x"),
+        (F.col("py") + 1).alias("c0_y"),
+    )
+
+
+@register("pseudo_time_rank", """
+  SELECT event_id AS pid, user_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS BIGINT)
+           AS pt_idx,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS VARCHAR)
+           AS pseudo_time
+  FROM events
+""")
+def q_pseudo_time(spark, sf_dir):
+    """R4/W3: running point index as pseudo-time (gpx.c:337-338)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rn = F.row_number().over(w) - 1
+    return ev.select(
+        F.col("event_id").alias("pid"), "user_id",
+        rn.cast("long").alias("pt_idx"),
+        rn.cast("string").alias("pseudo_time"))
+
+
+@register("speed_synth_window", f"""
+  WITH pts AS ({PTS_SQL}),
+  lagged AS (
+    SELECT pid, user_id, lat, lon, kph, epoch(ts) AS es,
+           LAG(lat) OVER w AS plat, LAG(lon) OVER w AS plon,
+           LAG(kph) OVER w AS pkph, LAG(epoch(ts)) OVER w AS pes,
+           LEAD(kph) OVER w AS nkph
+    FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, pid))
+  SELECT pid, user_id,
+         CASE WHEN pkph IS NOT NULL AND nkph IS NOT NULL
+              THEN CAST(FLOOR((pkph + nkph) / 2.0 * 1000.0) AS BIGINT)
+              WHEN plat IS NOT NULL
+              THEN CAST(FLOOR(ACOS(LEAST(1.0,
+                     SIN(RADIANS(plat)) * SIN(RADIANS(lat))
+                   + COS(RADIANS(plat)) * COS(RADIANS(lat)) * COS(RADIANS(lon - plon))
+                 )) * 6371000.0
+                 / GREATEST(1.0, FLOOR(es - pes)) * 1000.0) AS BIGINT)
+              ELSE NULL END AS synth_speed_milli
+  FROM lagged
+""")
+def q_speed_synth_window(spark, sf_dir):
+    """R3's window-expressible core: average of neighbors when both exist,
+    else distance/max(1,dt).  (The reference's sequential synthesized-
+    prev-feeds-next chain is kept exact in the parse stage — gpx.c:273-299;
+    this is the relational approximation used for SQL-side analytics.)"""
+    pts = _points(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "pid")
+    es = F.col("ts").cast("timestamp").cast("double")
+    lagged = pts.select(
+        "pid", "user_id", "lat", "lon", "kph", es.alias("es"),
+        F.lag("lat").over(w).alias("plat"), F.lag("lon").over(w).alias("plon"),
+        F.lag("kph").over(w).alias("pkph"), F.lag(es).over(w).alias("pes"),
+        F.lead("kph").over(w).alias("nkph"))
+    dist = P.earth_distance_col(F.col("plat"), F.col("plon"),
+                                F.col("lat"), F.col("lon"))
+    synth = (
+        F.when(F.col("pkph").isNotNull() & F.col("nkph").isNotNull(),
+               F.floor((F.col("pkph") + F.col("nkph")) / 2.0 * 1000.0))
+        .when(F.col("plat").isNotNull(),
+              F.floor(dist / F.greatest(F.lit(1.0),
+                                        F.floor(F.col("es") - F.col("pes")))
+                      * 1000.0))
+        .otherwise(F.lit(None))
+    )
+    return lagged.select("pid", "user_id",
+                         synth.cast("long").alias("synth_speed_milli"))
+
+
+@register("heatmap_hits", f"""
+  WITH pts AS ({PTS_SQL}),
+  pxy AS ({_pixel_sql(12)})
+  SELECT tx, ty, px, py, COUNT(*) AS hits
+  FROM pxy GROUP BY 1, 2, 3, 4 HAVING COUNT(*) > 1
+""")
+def q_heatmap_hits(spark, sf_dir):
+    """Heatmap phase 1 relationally: per-(tile, pixel) hit counts at z12 —
+    the commutative reformulation of intensify^n (SURVEY.md §4)."""
+    z = 12
+    pts = _points(spark, sf_dir)
+    tx, ty = P.tilex_col(F.col("lon"), z), P.tiley_col(F.col("lat"), z)
+    pts = pts.withColumn("tx", tx).withColumn("ty", ty)
+    import math as _m
+    zp = F.pow(F.lit(2.0), F.lit(z))
+    n1 = F.lit(_m.pi) - F.lit(2.0 * _m.pi) * (F.col("ty").cast("double") / zp)
+    n2 = F.lit(_m.pi) - F.lit(2.0 * _m.pi) * ((F.col("ty").cast("double") + F.lit(1.0)) / zp)
+    north = F.degrees(F.atan(F.lit(0.5) * (F.exp(n1) - F.exp(-n1))))
+    south = F.degrees(F.atan(F.lit(0.5) * (F.exp(n2) - F.exp(-n2))))
+    west = F.lit(-180.0) + F.col("tx").cast("double") * F.lit(360.0) / zp
+    east = west + F.lit(360.0) / zp
+    px = F.floor((F.col("lon") - west) * F.lit(TILE_W) / (east - west)).cast("int")
+    py = F.floor((F.col("lat") - north) * F.lit(TILE_H) / (south - north)).cast("int")
+    return (
+        pts.select("tx", "ty", px.alias("px"), py.alias("py"))
+        .groupBy("tx", "ty", "px", "py").agg(F.count("*").alias("hits"))
+        .filter(F.col("hits") > 1)
+    )
+
+
+@register("cell_rollup", f"""
+  WITH pts AS ({PTS_SQL}),
+  cells AS (
+    SELECT CAST({P.quadkey_sql(tx_sql('lon', '8'), ty_sql('lat', '8'), 8)} AS BIGINT) AS cell
+    FROM pts),
+  counts AS (SELECT cell, COUNT(*) AS n FROM cells GROUP BY cell)
+  SELECT cell >> 2 AS parent_cell, CAST(SUM(n) AS BIGINT) AS n_points,
+         COUNT(*) AS n_children
+  FROM counts GROUP BY 1
+""")
+def q_cell_rollup(spark, sf_dir):
+    """Hierarchical cell rollup: z8 quadkey counts aggregated to the z7
+    parent via cell >> 2 (the Morton prefix property) — the hypertable-
+    rollup analog over the S2-style index."""
+    pts = _points(spark, sf_dir)
+    tx, ty = P.tilex_col(F.col("lon"), 8), P.tiley_col(F.col("lat"), 8)
+    cells = pts.select(P.quadkey_col(tx, ty, 8).alias("cell"))
+    counts = cells.groupBy("cell").agg(F.count("*").alias("n"))
+    return counts.groupBy(F.shiftright("cell", 2).alias("parent_cell")).agg(
+        F.sum("n").alias("n_points"), F.count("*").alias("n_children"))
+
+
+@register("simhash_hamming_pairs", f"""
+  WITH words AS (
+    SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents
+    WHERE doc_id < 120),
+  votes AS (
+    SELECT doc_id,
+           {', '.join(
+               "CAST(SUM(CASE WHEN substr(h, %d, 1) >= '8' THEN 1 ELSE -1 END) AS BIGINT) AS v%d"
+               % (j + 1, j) for j in range(16))}
+    FROM words GROUP BY doc_id),
+  sims AS (
+    SELECT doc_id,
+           CAST({' + '.join(f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))}
+                AS BIGINT) AS simhash
+    FROM votes)
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+  FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+""")
+def q_simhash_hamming(spark, sf_dir):
+    """SimHash near-dup candidates: hamming distance <= 4 among the first
+    120 docs (bit_count of xor — portable)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    sims = dedup.simhash16(docs)
+    a, b = sims.alias("a"), sims.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= 4)
+    )
+
+
+@register("knn_earth", f"""
+  WITH pts AS ({PTS_SQL}),
+  q AS (SELECT pid AS qid, lat AS qlat, lon AS qlon FROM pts WHERE pid % 1999 = 0),
+  d AS (
+    SELECT q.qid, p.pid,
+           ACOS(LEAST(1.0,
+               SIN(RADIANS(q.qlat)) * SIN(RADIANS(p.lat))
+             + COS(RADIANS(q.qlat)) * COS(RADIANS(p.lat))
+             * COS(RADIANS(p.lon - q.qlon)))) * 6371000.0 AS dist_m
+    FROM pts p, q),
+  r AS (
+    SELECT qid, pid,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist_m, pid) AS rnk
+    FROM d)
+  SELECT qid, pid, CAST(rnk AS INT) AS rnk
+  FROM r WHERE rnk <= 3
+""")
+def q_knn_earth(spark, sf_dir):
+    """kNN under the reference's own law-of-cosines metric (gpx.c:244-258)."""
+    pts = _points(spark, sf_dir).select("pid", "lat", "lon")
+    qs = pts.filter(F.col("pid") % 1999 == 0).select(
+        F.col("pid").alias("qid"), F.col("lat").alias("qlat"),
+        F.col("lon").alias("qlon"))
+    j = pts.crossJoin(F.broadcast(qs))
+    dist = P.earth_distance_col(F.col("qlat"), F.col("qlon"),
+                                F.col("lat"), F.col("lon"))
+    w = Window.partitionBy("qid").orderBy("dist_m", "pid")
+    # NOTE: the raw distance is omitted from the comparable output — acos
+    # near a==1.0 (self/duplicate coordinates) differs across engines by
+    # an ulp-amplified ~10 cm; the RANKING is stable (per-engine ties are
+    # bit-identical and broken by pid).
+    return (
+        j.select("qid", "pid", dist.alias("dist_m"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("qid", "pid", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Engine-native (non-SQL-expressible) queries — rows-only driver check
 # ---------------------------------------------------------------------------
 
@@ -667,3 +926,32 @@ def q_ann_lsh(spark, sf_dir):
 def q_multimodal(spark, sf_dir):
     from .operators.multimodal import media_features
     return media_features(_sf_docs(spark, sf_dir))
+
+
+@register("render_heatmap", None)
+def q_render_heatmap(spark, sf_dir):
+    """-H mode: sequential intensify fold (order-coupled, non-SQL)."""
+    from .config import EngineConfig
+    from .plans.pipeline import render_pyramid
+    cfg = EngineConfig(zoom_min=1, zoom_max=8, heatmap=True)
+    tiles = render_pyramid(_sf_docs(spark, sf_dir), cfg).tiles
+    return tiles.select("z", "tx", "ty", "point_cnt", "n_events",
+                        F.length("png").alias("png_bytes"))
+
+
+@register("incremental_store", None)
+def q_incremental_store(spark, sf_dir):
+    """Checkpointed two-batch incremental render; returns the final
+    snapshot's tile stats (resume/lineage path — streaming/incremental)."""
+    import tempfile
+
+    from .config import EngineConfig
+    from .streaming.incremental import process_batches
+    cfg = EngineConfig(zoom_min=1, zoom_max=6)
+    with tempfile.TemporaryDirectory() as d:
+        store = process_batches(spark, _sf_docs(spark, sf_dir), d, cfg,
+                                n_batches=2)
+        cur = store.current().select("z", "tx", "ty", "point_cnt", "n_events")
+        cur = cur.persist()
+        cur.count()
+        return cur
