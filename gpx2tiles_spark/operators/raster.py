@@ -244,6 +244,52 @@ def _rasterize_partitions(events: DataFrame, cfg: EngineConfig) -> DataFrame:
     return part.mapInPandas(fold_partition, TILES_SCHEMA)
 
 
+PIXELS_SCHEMA = T.StructType([
+    T.StructField("z", T.IntegerType(), False),
+    T.StructField("tx", T.IntegerType(), False),
+    T.StructField("ty", T.IntegerType(), False),
+    T.StructField("px", T.IntegerType(), False),
+    T.StructField("py", T.IntegerType(), False),
+    T.StructField("rgb", T.IntegerType(), False),
+    T.StructField("lat", T.DoubleType(), False),
+    T.StructField("lon", T.DoubleType(), False),
+])
+
+
+def tiles_to_pixels(tiles: DataFrame) -> DataFrame:
+    """Raster→vector: decode tile PNGs back to painted pixels with their
+    inverse-projected geographic pixel-center coordinates (J4's
+    round-trip direction; inverse of R5/R6 — slippy-map.h:23-32)."""
+    from .. import projection as P
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                img = decode_png(bytes(r.png))
+                ys, xs = np.nonzero(img[..., 3])
+                if not len(xs):
+                    continue
+                rgb = ((img[ys, xs, 0].astype(np.int64) << 16)
+                       | (img[ys, xs, 1].astype(np.int64) << 8)
+                       | img[ys, xs, 2].astype(np.int64))
+                s, w, n, e = P.tile_bbox(np.int64(r.tx), np.int64(r.ty), int(r.z))
+                lon = w + (xs + 0.5) * (e - w) / img.shape[1]
+                lat = n + (ys + 0.5) * (s - n) / img.shape[0]
+                out.append(pd.DataFrame({
+                    "z": np.full(len(xs), r.z, np.int32),
+                    "tx": np.full(len(xs), r.tx, np.int32),
+                    "ty": np.full(len(xs), r.ty, np.int32),
+                    "px": xs.astype(np.int32), "py": ys.astype(np.int32),
+                    "rgb": rgb.astype(np.int32),
+                    "lat": lat, "lon": lon,
+                }))
+            yield (pd.concat(out, ignore_index=True) if out
+                   else pd.DataFrame(columns=[f.name for f in PIXELS_SCHEMA.fields]))
+
+    return tiles.select("z", "tx", "ty", "png").mapInPandas(extract, PIXELS_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # Skew handling: range-salted two-phase render for hot tiles
 # ---------------------------------------------------------------------------

@@ -928,6 +928,20 @@ def q_multimodal(spark, sf_dir):
     return media_features(_sf_docs(spark, sf_dir))
 
 
+@register("raster_vector_roundtrip", None)
+def q_raster_roundtrip(spark, sf_dir):
+    """J4 round-trip: render → decode PNGs → painted pixels with
+    inverse-projected coordinates (per-pixel vector extraction)."""
+    from .config import EngineConfig
+    from .operators.raster import tiles_to_pixels
+    from .plans.pipeline import render_pyramid
+    cfg = EngineConfig(zoom_min=4, zoom_max=8)
+    tiles = render_pyramid(_sf_docs(spark, sf_dir), cfg).tiles
+    return tiles_to_pixels(tiles).groupBy("z", "tx", "ty").agg(
+        F.count("*").alias("painted_px"),
+        F.countDistinct("rgb").alias("n_colors"))
+
+
 @register("render_heatmap", None)
 def q_render_heatmap(spark, sf_dir):
     """-H mode: sequential intensify fold (order-coupled, non-SQL)."""
