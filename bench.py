@@ -49,7 +49,8 @@ def run_bench(sf_dir: str, cpus: int, n_render_docs: int | None = None):
         timings[name] = round(time.time() - t0, 3)
 
     # headline: full tile-pyramid render on the deterministic corpus
-    n_docs = n_render_docs or {"0.001": 24, "0.01": 96, "0.1": 384}.get(sf, 96)
+    # (sized so the render is work-bound, not Spark-fixed-cost-bound)
+    n_docs = n_render_docs or {"0.001": 96, "0.01": 768, "0.1": 4000}.get(sf, 768)
     cfg = EngineConfig(zoom_min=1, zoom_max=18)
     docs = generate_documents(spark, n_docs).persist()
     n_points = None
