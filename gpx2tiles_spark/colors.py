@@ -51,8 +51,12 @@ def speed_clridx_sql(kph_expr: str) -> str:
 
 
 # ---------------------------------------------------------------------------
-# HSV heatmap intensify (vectorized port of the public hsv<->rgb identities;
-# the reference's rgbhsv.h implements the same standard conversion)
+# HSV heatmap intensify — exact vectorized transcription of the reference's
+# rgbhsv.h conversions (rgb2hsv:13-57, hsv2rgb:59-114) including the
+# delta < 0.00001 gray guard and the i/ff/p/q/t reconstruction.  A direct
+# newV/V channel scaling is NOT bit-identical at the (int)(x*255)
+# truncation (~4% of colors differ by 1 in a channel), so the full round
+# trip is reproduced op-for-op.
 # ---------------------------------------------------------------------------
 
 def rgb_int_to_float(c: np.ndarray) -> np.ndarray:
@@ -70,18 +74,47 @@ def rgb_float_to_int(rgb: np.ndarray) -> np.ndarray:
     return (q[..., 0] << 16) | (q[..., 1] << 8) | q[..., 2]
 
 
-def intensify(c: np.ndarray, step: float = 0.05) -> np.ndarray:
-    """HSV value += step (clamp 1.0) on packed RGB ints (gpx2tiles.c:449-468).
+def _rgb2hsv(rgb: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """rgbhsv.h rgb2hsv, vectorized.  (The max==0 NAN branch is dead code:
+    delta <= max, so max == 0 implies delta < 0.00001 → gray branch.)"""
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    mx = rgb.max(axis=-1)
+    mn = rgb.min(axis=-1)
+    delta = mx - mn
+    gray = delta < 0.00001
+    d = np.where(gray, 1.0, delta)  # guard; gray rows discard h/s anyway
+    h = np.where(
+        r >= mx, (g - b) / d,
+        np.where(g >= mx, 2.0 + (b - r) / d, 4.0 + (r - g) / d),
+    ) * 60.0
+    h = np.where(h < 0.0, h + 360.0, h)
+    h = np.where(gray, 0.0, h)
+    s = np.where(gray, 0.0, delta / np.where(mx > 0.0, mx, 1.0))
+    return h, s, mx
 
-    Implemented directly on V = max(R,G,B): raising V in HSV with H,S fixed
-    scales all channels by newV/V (or sets gray when V == 0) — identical to
-    the round-trip conversion without materializing H and S.
-    """
+
+def _hsv2rgb(h: np.ndarray, s: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """rgbhsv.h hsv2rgb, vectorized (switch((long)(h/60)) reconstruction)."""
+    hh = np.where(h >= 360.0, 0.0, h) / 60.0
+    i = hh.astype(np.int64)  # C (long) truncation; hh >= 0 here
+    ff = hh - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * ff)
+    t = v * (1.0 - s * (1.0 - ff))
+    conds = [i == 0, i == 1, i == 2, i == 3, i == 4]
+    r = np.select(conds, [v, q, p, p, t], default=v)
+    g = np.select(conds, [t, v, v, q, p], default=p)
+    b = np.select(conds, [p, p, t, v, v], default=q)
+    gray = s <= 0.0
+    out = np.stack([np.where(gray, v, r), np.where(gray, v, g),
+                    np.where(gray, v, b)], axis=-1)
+    return out
+
+
+def intensify(c: np.ndarray, step: float = 0.05) -> np.ndarray:
+    """HSV value += step (clamp 1.0) on packed RGB ints — the exact
+    rgb2hsv/hsv2rgb round trip of gpx2tiles.c:449-468."""
     rgb = rgb_int_to_float(c)
-    v = rgb.max(axis=-1)
-    new_v = np.minimum(v + step, 1.0)
-    scale = np.where(v > 0, new_v / np.where(v > 0, v, 1.0), 0.0)
-    out = rgb * scale[..., None]
-    # v == 0 (black): S is 0, so the result is the gray (new_v, new_v, new_v)
-    out = np.where(v[..., None] > 0, out, new_v[..., None])
-    return rgb_float_to_int(out)
+    h, s, v = _rgb2hsv(rgb)
+    v = np.minimum(v + step, 1.0)
+    return rgb_float_to_int(_hsv2rgb(h, s, v))

@@ -15,7 +15,16 @@ ZOOM_MAX_HARD = 19  # gpx2tiles.c:38
 # Sentinel values of the reference's `set_speed` global (gpx2tiles.c:65,957-963)
 SPEED_FROM_DATA = "data"  # set_speed == INT_MIN: color from point speed
 SPEED_FIXED_COLOR = "fixed"  # set_speed == INT_MAX: -c hex color
-HEATMAP_MODE = -2  # gpx2tiles.c:54 (z_no_lines sentinel for -H)
+# -H sets z_no_lines = HEATMAP_MODE = INT_MAX (gpx2tiles.c:54,976), so
+# z < z_no_lines always holds and DRAW_TRKPTR_NO_LINES is always set
+# (gpx2tiles.c:730,663): heatmap output NEVER contains lines.
+HEATMAP_MODE = (1 << 31) - 1
+
+# the PDOP uncertainty ellipse is hardcoded to z >= 17 and pdop > 1.8
+# (gpx2tiles.c:503 diag_draw_point) and drawn with gd alpha 20
+PDOP_MIN_Z = 17
+PDOP_THRESHOLD = 1.8
+PDOP_ALPHA = 20
 
 
 @dataclass(frozen=True)
@@ -42,6 +51,7 @@ class EngineConfig:
     shuffle_partitions: int = 32
     salt_buckets: int = 0  # 0 = no salting; >0 = range-salt hot tiles
     hot_tile_threshold: int = 200_000  # events per tile before salting kicks in
+    hot_detect_fraction: float = 0.01  # sample rate for hot-tile detection
 
     def zooms(self) -> list[int]:
         zmax = max(self.zoom_max, self.zoom_min)  # gpx2tiles.c:1020-1021

@@ -53,8 +53,18 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 8) -> DataFrame:
 
 
 def lsh_candidate_pairs(signatures: DataFrame, num_hashes: int = 8,
-                        band_size: int = 2) -> DataFrame:
-    """Banded LSH: docs sharing any band's key become a candidate pair."""
+                        band_size: int = 2,
+                        max_bucket: int | None = 10_000) -> DataFrame:
+    """Banded LSH: docs sharing any band's key become a candidate pair.
+
+    ``max_bucket`` is the standard degenerate-bucket guard: a band key
+    shared by more than that many docs (empty texts, boilerplate) would
+    emit O(bucket²) candidates — one such key at 10^12 docs is quadratic
+    death.  Oversize buckets are dropped, not split: their members are
+    near-IDENTICAL under the whole band signature, which the exact
+    content-hash dedup (exact_duplicates) already collapses; LSH's job is
+    the near-dup tail.  The count uses the same (band, band_key) shuffle
+    key as the join, so AQE coalesces it into the join's exchange."""
     bands = num_hashes // band_size
     band_rows = None
     for b in range(bands):
@@ -64,6 +74,12 @@ def lsh_candidate_pairs(signatures: DataFrame, num_hashes: int = 8,
             F.md5(F.concat_ws("|", *cols)).alias("band_key"),
         )
         band_rows = r if band_rows is None else band_rows.unionByName(r)
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "band_key")
+        band_rows = (band_rows
+                     .withColumn("_bucket_n", F.count("*").over(w))
+                     .filter(F.col("_bucket_n") <= max_bucket)
+                     .drop("_bucket_n"))
     a = band_rows.alias("a")
     b = band_rows.alias("b")
     return (
@@ -94,6 +110,46 @@ def simhash16(docs: DataFrame, id_col: str = "doc_id",
         bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         sim = bit if sim is None else sim + bit
     return agg.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def simhash_hamming_pairs(sims: DataFrame, max_hamming: int = 4) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming via a banded
+    bit-chunk equi-join — NO all-pairs theta-join.
+
+    The 16 bits split into max_hamming+1 bands (pigeonhole: any pair
+    within max_hamming differing bits agrees exactly on at least one
+    band), candidates come from a self-equi-join on (band, band_bits),
+    then the exact hamming re-rank filters.  At 10^12 docs the join keys
+    are (band, chunk-value) buckets instead of an O(n²) cross product.
+    """
+    nbands = max_hamming + 1
+    # split 16 bits into nbands chunks (sizes as even as possible)
+    sizes = [(16 + b) // nbands for b in range(nbands)]  # e.g. 3,3,3,3,4
+    offs, o = [], 0
+    for s in sizes:
+        offs.append(o)
+        o += s
+    bands = None
+    for b, (off, size) in enumerate(zip(offs, sizes)):
+        chunk = F.shiftright(F.col("simhash"), off).bitwiseAND(
+            F.lit((1 << size) - 1))
+        r = sims.select("doc_id", "simhash", F.lit(b).alias("band"),
+                        chunk.alias("band_bits"))
+        bands = r if bands is None else bands.unionByName(r)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, ["band", "band_bits"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.simhash").alias("sim_a"),
+                F.col("b.simhash").alias("sim_b"))
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (cand.withColumn("hamming", ham.cast("int"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming"))
 
 
 def ngram_jaccard_pairs(shingles: DataFrame, max_id) -> DataFrame:

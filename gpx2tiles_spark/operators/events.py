@@ -29,14 +29,18 @@ from pyspark.sql import functions as F
 
 from .. import projection as P
 from ..colors import speed_clridx_col
-from ..config import (SPDCLR, SPEED_FIXED_COLOR, SPEED_FROM_DATA, TILE_H,
-                      TILE_W, EngineConfig, POINT_CIRCLE_COLOR)
+from ..config import (PDOP_MIN_Z, PDOP_THRESHOLD, SPDCLR, SPEED_FIXED_COLOR,
+                      SPEED_FROM_DATA, TILE_H, TILE_W, EngineConfig,
+                      POINT_CIRCLE_COLOR)
 from .tiles import with_pixel, with_tile, with_tile_pixel, with_zooms
 
-# etype doubles as the intra-point draw priority (gpx2tiles.c:654,658,671)
+# etype doubles as the intra-point draw priority: the reference draws
+# stamp → waypoint circle → PDOP diagnostic ellipse → line(s) per point
+# (gpx2tiles.c:654, 658-659, 660 diag_draw_point, 663-671)
 ET_STAMP = 0
 ET_CIRCLE = 1
-ET_LINE = 2
+ET_PDOP = 2
+ET_LINE = 3
 
 EVENT_COLS = ["z", "tx", "ty", "doc_id", "seg_order", "pt_idx", "etype",
               "x1", "y1", "x2", "y2", "color"]
@@ -135,9 +139,12 @@ def build_events(points: DataFrame, cfg: EngineConfig) -> DataFrame:
         F.lit(0).alias("x2"), F.lit(0).alias("y2"), color,
     )
 
+    # -H sets z_no_lines = INT_MAX, so heatmap mode NEVER draws lines
+    # (gpx2tiles.c:976,730,663) — the line branches are skipped entirely
     can_line = (
-        F.col("prev_lat").isNotNull()
-        & (F.lit(cfg.heatmap) | (F.col("z") >= F.lit(cfg.z_no_lines)))
+        F.lit(not cfg.heatmap)
+        & F.col("prev_lat").isNotNull()
+        & (F.col("z") >= F.lit(cfg.z_no_lines))
         & ~((F.col("flags").bitwiseAND(F.lit(8)) != 0)
             & (F.col("speed") * F.lit(3.6) < F.lit(cfg.no_lines_speed_kph)))
     )
@@ -177,7 +184,12 @@ def build_events(points: DataFrame, cfg: EngineConfig) -> DataFrame:
         F.col("lx2").alias("x2"), F.col("ly2").alias("y2"), color,
     )
 
-    out = stamps.unionByName(same_lines).unionByName(cross_lines)
+    if cfg.heatmap:
+        out = stamps  # no line branches at all in heatmap mode
+    else:
+        out = stamps.unionByName(same_lines).unionByName(cross_lines)
+    out = out.unionByName(_pdop_events(with_pixel(trk), cfg, color)
+                          .select(*out.columns))
 
     # --- waypoints (F5): stamps + circles only at z > z_no_wpts
     wpts = points.filter(F.col("kind") == "wpt")
@@ -186,14 +198,37 @@ def build_events(points: DataFrame, cfg: EngineConfig) -> DataFrame:
     )
     key = [F.col("z"), F.col("tx"), F.col("ty"), F.col("doc_id"),
            F.col("seg_order"), F.col("pt_idx")]
+    wpt_color = (F.lit(-1) if cfg.heatmap else point_color_col(cfg)).alias("color")
     wpt_stamps = wz.select(
         *key, F.lit(ET_STAMP).alias("etype"),
         F.col("px").alias("x1"), F.col("py").alias("y1"),
-        F.lit(0).alias("x2"), F.lit(0).alias("y2"),
-        (F.lit(-1) if cfg.heatmap else point_color_col(cfg)).alias("color"),
+        F.lit(0).alias("x2"), F.lit(0).alias("y2"), wpt_color,
     )
     return out.unionByName(wpt_stamps.select(*out.columns)) \
-              .unionByName(_wpt_circles(wz, cfg).select(*out.columns))
+              .unionByName(_wpt_circles(wz, cfg).select(*out.columns)) \
+              .unionByName(_pdop_events(wz, cfg, wpt_color).select(*out.columns))
+
+
+def _pdop_events(pts: DataFrame, cfg: EngineConfig, color) -> DataFrame:
+    """F8: PDOP uncertainty ellipse events — diag_draw_point
+    (gpx2tiles.c:497-505): at z >= 17, points with the PDOP flag (bit 64)
+    and pdop > 1.8 get a d×d outline ellipse (d = floor(pdop*3)) drawn
+    with gd alpha 20 over the point pixel.  x2 carries the diameter; the
+    heatmap sentinel color -1 resolves to the running heat color in the
+    fold (the reference passes the just-computed stamp color)."""
+    sel = pts.filter(
+        (F.col("z") >= F.lit(PDOP_MIN_Z))
+        & (F.col("flags").bitwiseAND(F.lit(64)) != 0)
+        & (F.col("pdop") > F.lit(PDOP_THRESHOLD))
+    )
+    return sel.select(
+        F.col("z"), F.col("tx"), F.col("ty"), F.col("doc_id"),
+        F.col("seg_order"), F.col("pt_idx"),
+        F.lit(ET_PDOP).alias("etype"),
+        F.col("px").alias("x1"), F.col("py").alias("y1"),
+        F.floor(F.col("pdop") * F.lit(3.0)).cast("int").alias("x2"),
+        F.lit(0).alias("y2"), color,
+    )
 
 
 def _wpt_circles(wz: DataFrame, cfg: EngineConfig) -> DataFrame:

@@ -35,6 +35,8 @@ FEATURES_SCHEMA = T.StructType([
     T.StructField("media_ref", T.StringType(), False),
     T.StructField("media_kind", T.StringType(), False),
     T.StructField("n_bytes", T.IntegerType(), False),
+    T.StructField("width", T.IntegerType(), False),
+    T.StructField("height", T.IntegerType(), False),
     T.StructField("mean_luma_milli", T.LongType(), False),
     T.StructField("feature", T.ArrayType(T.FloatType()), False),
 ])
@@ -69,9 +71,28 @@ def media_table(documents: DataFrame) -> DataFrame:
     )
 
 
-def media_features(documents: DataFrame, feat_dim: int = 8) -> DataFrame:
-    """Arrow-batched decode + feature extraction over media spans."""
-    media = media_table(documents)
+def media_table_from_flat_docs(documents: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table derived from a flat documents table
+    (doc_id, text): every 3rd document owns one media object whose ref is
+    the md5 of its text.  Deliberately SQL-expressible arithmetic only, so
+    the whole metadata path has an exact DuckDB oracle."""
+    sel = documents.filter(F.col("doc_id") % 3 == 0)
+    ref = F.concat(F.lit("media://"), F.md5(F.col("text")))
+    return sel.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit(0).alias("span_idx"),
+        ref.alias("media_ref"),
+        F.encode(ref, "utf-8").alias("payload"),
+        F.lit("image").alias("media_kind"),
+        (F.col("doc_id") % 64 + 16).cast("int").alias("width"),
+        ((F.col("doc_id") * 7 + 3) % 64 + 16).cast("int").alias("height"),
+    )
+
+
+def media_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
+    """Arrow-batched decode + feature extraction over a MEDIA_SCHEMA
+    table (one UDF invocation per Arrow batch, not per row — the batch
+    shape the real codec would see)."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -85,9 +106,15 @@ def media_features(documents: DataFrame, feat_dim: int = 8) -> DataFrame:
                     "doc_id": r.doc_id, "span_idx": int(r.span_idx),
                     "media_ref": r.media_ref, "media_kind": r.media_kind,
                     "n_bytes": len(bytes(r.payload)),
+                    "width": int(r.width), "height": int(r.height),
                     "mean_luma_milli": int(np.floor(img.mean() * 1000)),
                     "feature": (pooled[idx] / 255.0).astype(np.float32).tolist(),
                 })
             yield pd.DataFrame(rows, columns=[f.name for f in FEATURES_SCHEMA.fields])
 
     return media.mapInPandas(extract, FEATURES_SCHEMA)
+
+
+def document_media_features(documents: DataFrame, feat_dim: int = 8) -> DataFrame:
+    """media spans of a (doc_id, spans) corpus → features."""
+    return media_features(media_table(documents), feat_dim)

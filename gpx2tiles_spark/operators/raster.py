@@ -27,9 +27,9 @@ from pyspark.sql import types as T
 
 from .. import draw
 from ..colors import intensify
-from ..config import HEATMAP_BASE_COLOR, EngineConfig
+from ..config import HEATMAP_BASE_COLOR, PDOP_ALPHA, EngineConfig
 from ..pngcodec import blank_tile, decode_png, encode_png
-from .events import ET_CIRCLE, ET_LINE, ET_STAMP
+from .events import ET_CIRCLE, ET_LINE, ET_PDOP, ET_STAMP
 
 TILES_SCHEMA = T.StructType([
     T.StructField("z", T.IntegerType(), False),
@@ -51,6 +51,50 @@ def _fold_tile(pdf: pd.DataFrame, cfg: EngineConfig,
     return _fold_arrays(cols, 0, len(pdf), cfg, base)
 
 
+def _fold_opaque(canvas: np.ndarray, et, x1, y1, x2, y2, color,
+                 thick: int) -> None:
+    """Vectorized fold of OPAQUE events (stamp/line/circle): compute every
+    event's pixel list in batch (stamps = 1 px, lines = batched gd
+    Bresenham, circles = gd midpoint spans), tag each pixel with its event
+    index, stable-sort by it, and make ONE ordered fancy assignment —
+    numpy assigns duplicate indices in array order, so last-writer-wins
+    equals the sequential fold."""
+    segs: list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = []
+
+    stamp_m = et == ET_STAMP
+    if stamp_m.any():
+        idx = np.flatnonzero(stamp_m)
+        segs.append((x1[idx], y1[idx], color[idx], idx))
+
+    line_m = et == ET_LINE
+    if line_m.any():
+        idx = np.flatnonzero(line_m)
+        h, w = canvas.shape[:2]
+        # gd clip + endpoint swap + wid brush all inside the batch
+        xs, ys, reps = draw.lines_points_batch(
+            x1[idx], y1[idx], x2[idx], y2[idx], thick, w, h)
+        lc = np.repeat(color[idx], reps)
+        eidx = np.repeat(idx, reps)
+        segs.append((xs, ys, lc, eidx))
+
+    circ_m = et == ET_CIRCLE
+    if circ_m.any():
+        for i in np.flatnonzero(circ_m):
+            cxs, cys = draw.ellipse_pixels(int(x1[i]), int(y1[i]),
+                                           int(x2[i]), int(x2[i]))
+            segs.append((cxs, cys,
+                         np.full(len(cxs), color[i], np.int64),
+                         np.full(len(cxs), i, np.int64)))
+
+    if segs:
+        xs = np.concatenate([s[0] for s in segs])
+        ys = np.concatenate([s[1] for s in segs])
+        cs = np.concatenate([s[2] for s in segs])
+        eidx = np.concatenate([s[3] for s in segs])
+        order = np.argsort(eidx, kind="stable")
+        draw.stamp_pixels(canvas, xs[order], ys[order], cs[order])
+
+
 def _fold_arrays(cols: dict, s: int, e: int, cfg: EngineConfig,
                  base: np.ndarray | None) -> tuple[np.ndarray, int]:
     """Numpy-only event fold over cols[s:e] — no pandas in the loop."""
@@ -66,84 +110,97 @@ def _fold_arrays(cols: dict, s: int, e: int, cfg: EngineConfig,
     n = e - s
 
     if not cfg.heatmap:
-        # Fully vectorized fold: compute every event's pixel list in batch
-        # (stamps = 1 px, lines = batched Bresenham, circles = row spans),
-        # tag each pixel with its event index, stable-sort by it, and make
-        # ONE ordered fancy assignment — numpy assigns duplicate indices
-        # in array order, so last-writer-wins equals the sequential fold.
-        segs: list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = []
-
-        stamp_m = et == ET_STAMP
-        if stamp_m.any():
-            idx = np.flatnonzero(stamp_m)
-            segs.append((x1[idx], y1[idx], color[idx], idx))
-
-        line_m = et == ET_LINE
-        if line_m.any():
-            idx = np.flatnonzero(line_m)
-            xs, ys, reps = draw.lines_points_batch(
-                x1[idx], y1[idx], x2[idx], y2[idx])
-            cols = np.repeat(color[idx], reps)
-            eidx = np.repeat(idx, reps)
-            if thick > 1:
-                half = thick // 2
-                offs = [(ox, oy) for ox in range(-half, thick - half)
-                        for oy in range(-half, thick - half)]
-                xs = np.concatenate([xs + ox for ox, _ in offs])
-                ys = np.concatenate([ys + oy for _, oy in offs])
-                cols = np.tile(cols, len(offs))
-                eidx = np.tile(eidx, len(offs))
-            segs.append((xs, ys, cols, eidx))
-
-        circ_m = et == ET_CIRCLE
-        if circ_m.any():
-            for i in np.flatnonzero(circ_m):
-                cxs, cys = draw.ellipse_pixels(int(x1[i]), int(y1[i]),
-                                               int(x2[i]), int(x2[i]))
-                segs.append((cxs, cys,
-                             np.full(len(cxs), color[i], np.int64),
-                             np.full(len(cxs), i, np.int64)))
-
-        if segs:
-            xs = np.concatenate([s[0] for s in segs])
-            ys = np.concatenate([s[1] for s in segs])
-            cols = np.concatenate([s[2] for s in segs])
-            eidx = np.concatenate([s[3] for s in segs])
-            order = np.argsort(eidx, kind="stable")
-            draw.stamp_pixels(canvas, xs[order], ys[order], cols[order])
+        # PDOP ellipses alpha-blend (read canvas state), so the vectorized
+        # opaque fold runs in segments between them; PDOP events are rare
+        # (z >= 17 & pdop > 1.8), so the common case is one full-range call
+        pdop_idx = np.flatnonzero(et == ET_PDOP)
+        prev = 0
+        for pi in pdop_idx:
+            if pi > prev:
+                _fold_opaque(canvas, et[prev:pi], x1[prev:pi], y1[prev:pi],
+                             x2[prev:pi], y2[prev:pi], color[prev:pi], thick)
+            draw.blend_ellipse_outline(canvas, int(x1[pi]), int(y1[pi]),
+                                       int(x2[pi]), int(color[pi]), PDOP_ALPHA)
+            prev = pi + 1
+        if prev < n:
+            _fold_opaque(canvas, et[prev:n], x1[prev:n], y1[prev:n],
+                         x2[prev:n], y2[prev:n], color[prev:n], thick)
     else:
+        # heatmap mode: stamps (+ wpt circles at z > z_no_wpts, + PDOP at
+        # z >= 17) — NEVER lines (z_no_lines == INT_MAX, gpx2tiles.c:976)
         big = z >= cfg.z_heatmap_bigdots
         h, w = canvas.shape[:2]
-        cur_color = HEATMAP_BASE_COLOR
-        for i in range(n):
-            if et[i] == ET_STAMP:
-                xx, yy = int(x1[i]), int(y1[i])
-                if not (0 <= xx < w and 0 <= yy < h):
-                    # gd's out-of-range read returns 0 → base color
-                    cur_color = HEATMAP_BASE_COLOR
-                else:
-                    px = canvas[yy, xx]
-                    # gd returns 0 for never-touched truecolor pixels; our
-                    # alpha==0 marker plays that role (gpx2tiles.c:628-629)
-                    if px[3] == 0:
+        if not big and base is None and (et == ET_STAMP).all():
+            # pure single-pixel stamp tile: the sequential
+            # read→intensify→write chain per pixel is a function of the
+            # hit count alone — count hits and colorize once (the
+            # commutative reformulation; byte-exact vs the loop)
+            _heat_count_paint(canvas, x1, y1)
+        else:
+            cur_color = HEATMAP_BASE_COLOR
+            for i in range(n):
+                if et[i] == ET_STAMP:
+                    xx, yy = int(x1[i]), int(y1[i])
+                    if not (0 <= xx < w and 0 <= yy < h):
+                        # gd's out-of-range read returns 0 → base color
                         cur_color = HEATMAP_BASE_COLOR
                     else:
-                        packed = (int(px[0]) << 16) | (int(px[1]) << 8) | int(px[2])
-                        cur_color = int(intensify(np.array([packed]))[0])
-                if big:
-                    draw.fill_rect(canvas, xx - 1, yy - 1, xx + 1, yy + 1, cur_color)
-                else:
-                    draw.set_pixel(canvas, xx, yy, cur_color)
-            elif et[i] == ET_LINE:
-                # heatmap lines use the last computed heat color
-                # (gpx2tiles.c:627-671: `color` carries over into the line)
-                c = int(color[i]) if color[i] >= 0 else cur_color
-                draw.draw_line(canvas, x1[i], y1[i], x2[i], y2[i], c, thick)
-            else:
-                draw.fill_ellipse(canvas, int(x1[i]), int(y1[i]),
-                                  int(x2[i]), int(x2[i]), int(color[i]))
+                        px = canvas[yy, xx]
+                        # gd returns 0 for never-touched truecolor pixels;
+                        # our alpha==0 marker plays that role (c:628-629)
+                        if px[3] == 0:
+                            cur_color = HEATMAP_BASE_COLOR
+                        else:
+                            packed = (int(px[0]) << 16) | (int(px[1]) << 8) | int(px[2])
+                            cur_color = int(intensify(np.array([packed]))[0])
+                    if big:
+                        draw.fill_rect(canvas, xx - 1, yy - 1, xx + 1, yy + 1,
+                                       cur_color)
+                    else:
+                        draw.set_pixel(canvas, xx, yy, cur_color)
+                elif et[i] == ET_PDOP:
+                    # diag ellipse with the running heat color (c:660)
+                    draw.blend_ellipse_outline(canvas, int(x1[i]), int(y1[i]),
+                                               int(x2[i]), cur_color,
+                                               PDOP_ALPHA)
+                else:  # ET_CIRCLE
+                    draw.fill_ellipse(canvas, int(x1[i]), int(y1[i]),
+                                      int(x2[i]), int(x2[i]), int(color[i]))
     point_cnt = int((et == ET_STAMP).sum())
     return canvas, point_cnt
+
+
+_HEAT_CHAIN: np.ndarray | None = None
+
+
+def _heat_chain() -> np.ndarray:
+    """intensify^k(heatmapclr) until its fixed point (18 steps for the
+    default 0x061A5B): the color a pixel shows after k+1 hits."""
+    global _HEAT_CHAIN
+    if _HEAT_CHAIN is None:
+        vals = [HEATMAP_BASE_COLOR]
+        while True:
+            nxt = int(intensify(np.array([vals[-1]]))[0])
+            if nxt == vals[-1]:
+                break
+            vals.append(nxt)
+        _HEAT_CHAIN = np.asarray(vals, np.int64)
+    return _HEAT_CHAIN
+
+
+def _heat_count_paint(canvas: np.ndarray, xs: np.ndarray, ys: np.ndarray) -> None:
+    """Hit-count heatmap colorize: per-pixel hits → chain[min(hits-1, sat)].
+    Commutes across any event split, so salted/partitioned heatmap folds
+    merge by ADDING counts — the scale path for hot low-zoom tiles."""
+    h, w = canvas.shape[:2]
+    m = (xs >= 0) & (xs < w) & (ys >= 0) & (ys < h)
+    if not m.any():
+        return
+    key = ys[m].astype(np.int64) * w + xs[m].astype(np.int64)
+    uniq, counts = np.unique(key, return_counts=True)
+    chain = _heat_chain()
+    colors = chain[np.minimum(counts - 1, len(chain) - 1)]
+    draw.stamp_pixels(canvas, uniq % w, uniq // w, colors)
 
 
 def _sort_events(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -154,7 +211,14 @@ def _sort_events(pdf: pd.DataFrame) -> pd.DataFrame:
 
 def rasterize(events: DataFrame, cfg: EngineConfig,
               store: DataFrame | None = None) -> DataFrame:
-    """events (+ optional existing tile store (z,tx,ty,png)) → tiles."""
+    """events (+ optional existing tile store (z,tx,ty,png)) → tiles.
+
+    Heatmap fresh renders split by zoom: below
+    min(z_heatmap_bigdots, z_no_wpts+1, PDOP_MIN_Z) a heatmap tile is
+    single-pixel stamps ONLY, where the intensify chain is a pure function
+    of the per-pixel hit count — rendered relationally (hash aggregate,
+    skew-free) instead of a sequential fold.  That zone is exactly where
+    urban-corridor skew lives (low zoom = few huge tiles)."""
 
     def fold_cogroup(ev: pd.DataFrame, old: pd.DataFrame) -> pd.DataFrame:
         if not len(ev):
@@ -172,12 +236,82 @@ def rasterize(events: DataFrame, cfg: EngineConfig,
         }])
 
     if store is None:
+        if cfg.heatmap:
+            from ..config import PDOP_MIN_Z
+            pure_z = min(cfg.z_heatmap_bigdots, cfg.z_no_wpts + 1, PDOP_MIN_Z)
+            low = events.filter(F.col("z") < F.lit(pure_z))
+            high = events.filter(F.col("z") >= F.lit(pure_z))
+            return _rasterize_heatmap_counts(low, cfg).unionByName(
+                _rasterize_partitions(high, cfg))
         return _rasterize_partitions(events, cfg)
     return (
         events.groupBy("z", "tx", "ty")
         .cogroup(store.groupBy("z", "tx", "ty"))
         .applyInPandas(lambda ev, old: fold_cogroup(ev, old), TILES_SCHEMA)
     )
+
+
+def _rasterize_heatmap_counts(events: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Relational heatmap render for the pure-stamp zoom zone.
+
+    Plan: hash aggregate on (z,tx,ty,x1,y1) with map-side partial
+    aggregation — per-pixel keys are fine-grained, so a hot tile's events
+    combine locally instead of converging on one task (the salting story
+    for heatmap mode; the opaque-mode equivalent is rasterize_salted).
+    The aggregated relation is bounded at 65536 rows per tile, so the
+    per-tile paint that follows cannot skew.  Byte-exact vs the
+    sequential fold: chain[min(hits-1, fixedpoint)] == the canvas the
+    read→intensify→write loop leaves (test_pipeline_e2e)."""
+    counts = events.groupBy("z", "tx", "ty", "x1", "y1").agg(
+        F.count("*").alias("hits"))
+    docs = events.groupBy("z", "tx", "ty").agg(
+        F.countDistinct("doc_id").alias("n_docs"))
+    part = (
+        counts.join(docs, ["z", "tx", "ty"])  # co-partitioned after the aggs
+        .repartition("z", "tx", "ty")
+        .sortWithinPartitions("z", "tx", "ty")
+    )
+    _COLS = ("z", "tx", "ty", "x1", "y1", "hits", "n_docs")
+
+    def fold_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: dict | None = None
+        chain = _heat_chain()
+
+        def finish(cols: dict, s: int, e: int) -> dict:
+            canvas = blank_tile()
+            hits = cols["hits"][s:e]
+            colors = chain[np.minimum(hits - 1, len(chain) - 1)]
+            draw.stamp_pixels(canvas, cols["x1"][s:e], cols["y1"][s:e], colors)
+            total = int(hits.sum())
+            return {
+                "z": int(cols["z"][s]), "tx": int(cols["tx"][s]),
+                "ty": int(cols["ty"][s]), "point_cnt": total,
+                "n_events": total, "n_docs": int(cols["n_docs"][s]),
+                "png": encode_png(canvas),
+            }
+
+        for pdf in batches:
+            cols = {c: pdf[c].to_numpy() for c in _COLS}
+            if carry is not None:
+                cols = {c: np.concatenate([carry[c], cols[c]]) for c in _COLS}
+                carry = None
+            m = len(cols["z"])
+            if not m:
+                continue
+            keys = (cols["z"].astype(np.int64) << 40) \
+                 ^ (cols["tx"].astype(np.int64) << 20) \
+                 ^ cols["ty"].astype(np.int64)
+            change = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [m]))
+            out = [finish(cols, s, e) for s, e in zip(starts[:-1], ends[:-1])]
+            carry = {c: cols[c][starts[-1]:ends[-1]].copy() for c in _COLS}
+            if out:
+                yield pd.DataFrame(out)
+        if carry is not None and len(carry["z"]):
+            yield pd.DataFrame([finish(carry, 0, len(carry["z"]))])
+
+    return part.mapInPandas(fold_partition, TILES_SCHEMA)
 
 
 def _rasterize_partitions(events: DataFrame, cfg: EngineConfig) -> DataFrame:
@@ -296,19 +430,18 @@ def tiles_to_pixels(tiles: DataFrame) -> DataFrame:
 
 def doc_salt_boundaries(events: DataFrame, buckets: int,
                         sample_fraction: float = 0.1) -> list[str]:
-    """Order-preserving salt boundaries over doc_id: sample distinct doc
-    ids, take evenly spaced split points.  Sampling keeps this scalable
-    (at 10^12 docs an exact distinct+sort is off the table); boundaries
-    only affect load balance, never correctness."""
-    ids = [r.doc_id for r in (
-        events.select("doc_id").distinct()
-        .sample(False, min(1.0, sample_fraction), seed=7)
-        .orderBy("doc_id").collect())]
+    """Order-preserving salt boundaries over doc_id from a BOUNDED row
+    sample: no distinct shuffle, no sort shuffle, and the driver sees at
+    most 10_000·buckets ids (the round-1 all-ids fallback is gone).
+    Row-frequency weighting is a feature — boundaries land where the
+    events are, balancing bucket LOAD, and boundaries only affect load
+    balance, never correctness (contiguous ranges either way)."""
+    rows = (events.select("doc_id")
+            .sample(False, min(1.0, sample_fraction), seed=7)
+            .limit(10_000 * buckets).collect())
+    ids = sorted({r.doc_id for r in rows})
     if len(ids) < buckets:
-        ids = [r.doc_id for r in
-               events.select("doc_id").distinct().orderBy("doc_id").collect()]
-    if not ids:
-        return []
+        return []  # too few docs for salting to help — unsalted path
     step = max(1, len(ids) // buckets)
     return ids[step::step][: buckets - 1]
 
@@ -325,10 +458,11 @@ def rasterize_salted(events: DataFrame, cfg: EngineConfig) -> DataFrame:
     Phase B overlays the partials per tile in salt order.  Because salt
     ranges are contiguous in doc order and all draw ops are opaque
     writes, overlay-in-salt-order == the unsalted painter fold exactly.
-    Heatmap mode reads canvas state across documents (intensify), so it
-    must stay on the unsalted path — asserted here.
+    Heatmap mode's skew path is _rasterize_heatmap_counts (hit-count
+    merge) inside rasterize() — its low-zoom tiles commute, and its
+    big-dot/circle zone sits at high zooms where tiles are small.
     """
-    assert not cfg.heatmap, "heatmap accumulation is order-coupled; use rasterize()"
+    assert not cfg.heatmap, "heatmap skew is handled by rasterize()'s count merge"
     buckets = max(2, cfg.salt_buckets)
     bounds = doc_salt_boundaries(events, buckets)
     if not bounds:
@@ -338,10 +472,16 @@ def rasterize_salted(events: DataFrame, cfg: EngineConfig) -> DataFrame:
     for b in bounds:
         salt = salt + F.when(F.col("doc_id") >= F.lit(b), 1).otherwise(0)
 
-    # hot tiles are by definition few — collect their keys and split with
-    # a literal isin (codegen hash probe, no join, no broadcast exchange)
-    hot_rows = (events.groupBy("z", "tx", "ty").count()
-                .filter(F.col("count") > cfg.hot_tile_threshold)
+    # hot tiles are by definition few — detect them on a 1% sample (the
+    # threshold is ≥ 200k events, so a 1% sample still sees ≥ ~2k per hot
+    # tile; sub-hot tiles misclassified hot just pay a harmless extra
+    # merge) and collect only keys above the scaled threshold: bounded
+    # output, and the detection pass scans 1% of the exploded relation
+    # instead of all of it
+    det_frac = min(1.0, max(cfg.hot_detect_fraction, 1e-6))
+    sampled = events if det_frac >= 1.0 else events.sample(False, det_frac, seed=13)
+    hot_rows = (sampled.groupBy("z", "tx", "ty").count()
+                .filter(F.col("count") > cfg.hot_tile_threshold * det_frac)
                 .select("z", "tx", "ty").collect())
     if not hot_rows:
         return _rasterize_partitions(events, cfg)

@@ -52,10 +52,18 @@ def with_tile_pixel(df: DataFrame, lat: str = "lat", lon: str = "lon",
 def tile_point_counts(points: DataFrame, cfg: EngineConfig) -> DataFrame:
     """A1: per-(z,tx,ty) point counts — THE primary correctness artifact
     (tile->point_cnt++, gpx2tiles.c:617).  Hash aggregate with map-side
-    partial aggregation; shuffle keyed (z,tx,ty)."""
+    partial aggregation; shuffle keyed (z,tx,ty).
+
+    The reference only processes waypoints when z > z_no_wpts
+    (gpx2tiles.c:733-735), so wpt rows count (and materialize tiles) only
+    above that zoom; track points count at every zoom."""
+    exploded = with_tile_pixel(with_zooms(points, cfg))
+    if "kind" in points.columns:
+        exploded = exploded.filter(
+            (F.col("kind") == "trkpt") | (F.col("z") > F.lit(cfg.z_no_wpts))
+        )
     return (
-        with_tile_pixel(with_zooms(points, cfg))
-        .groupBy("z", "tx", "ty")
+        exploded.groupBy("z", "tx", "ty")
         .agg(F.count("*").alias("point_cnt"))
     )
 

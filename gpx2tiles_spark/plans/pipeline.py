@@ -36,6 +36,12 @@ def render_pyramid(documents: DataFrame, cfg: EngineConfig | None = None,
                    store: DataFrame | None = None) -> RenderResult:
     cfg = cfg or EngineConfig()
     points = parse_documents(documents)
+    if (cfg.heatmap or cfg.salt_buckets > 0) and store is None:
+        # the renderer splits events into disjoint branches (heatmap
+        # zoom zones / hot-cold tiles) — persist the PRE-explode points so
+        # the expensive parse runs once and only the cheap zoom explode
+        # re-derives per branch
+        points = points.persist()
     events = build_events(points, cfg)
     if cfg.salt_buckets > 0 and not cfg.heatmap and store is None:
         from ..operators.raster import rasterize_salted

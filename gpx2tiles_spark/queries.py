@@ -835,18 +835,13 @@ def q_cell_rollup(spark, sf_dir):
 """)
 def q_simhash_hamming(spark, sf_dir):
     """SimHash near-dup candidates: hamming distance <= 4 among the first
-    120 docs (bit_count of xor — portable)."""
+    120 docs via the banded bit-chunk equi-join (5 bands → pigeonhole
+    guarantees recall for hamming <= 4; NO all-pairs theta-join — the
+    oracle below is the brute-force definition, so a green hash also
+    proves the banding loses nothing)."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
     sims = dedup.simhash16(docs)
-    a, b = sims.alias("a"), sims.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-                ham.cast("int").alias("hamming"))
-        .filter(F.col("hamming") <= 4)
-    )
+    return dedup.simhash_hamming_pairs(sims, max_hamming=4)
 
 
 @register("knn_earth", f"""
@@ -924,8 +919,39 @@ def q_ann_lsh(spark, sf_dir):
 
 @register("multimodal_features", None)
 def q_multimodal(spark, sf_dir):
-    from .operators.multimodal import media_features
-    return media_features(_sf_docs(spark, sf_dir))
+    """Media spans of the interleaved corpus → Arrow-batched features.
+    The feature vector is emitted as a fixed-format string so the output
+    is hashable by the driver's canonicalizer (array columns are not)."""
+    from .operators.multimodal import document_media_features
+    feats = document_media_features(_sf_docs(spark, sf_dir))
+    fstr = F.concat_ws(
+        ",", F.transform("feature", lambda x: F.format_string("%.5f", x)))
+    return feats.select(
+        "doc_id", "span_idx", "media_ref", "media_kind", "n_bytes",
+        "width", "height", "mean_luma_milli", fstr.alias("feature_csv"))
+
+
+@register("multimodal_meta", """
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, 0 AS span_idx,
+         'media://' || md5(text) AS media_ref,
+         'image' AS media_kind,
+         CAST(length('media://' || md5(text)) AS INT) AS n_bytes,
+         CAST(doc_id % 64 + 16 AS INT) AS width,
+         CAST((doc_id * 7 + 3) % 64 + 16 AS INT) AS height
+  FROM documents WHERE doc_id % 3 = 0
+""")
+def q_multimodal_meta(spark, sf_dir):
+    """Multimodal metadata path with a full oracle: the media table is
+    derived from the flat driver documents table with SQL-expressible
+    arithmetic, runs through the REAL mapInPandas decode+extract stub, and
+    the deterministic metadata columns round-trip exactly.  (mean_luma and
+    the feature vector come from the md5-seeded fake decoder — not
+    SQL-able; they are exercised by multimodal_features and pytest.)"""
+    from .operators.multimodal import media_features, media_table_from_flat_docs
+    media = media_table_from_flat_docs(_t(spark, sf_dir, "documents"))
+    feats = media_features(media)
+    return feats.select("doc_id", "span_idx", "media_ref", "media_kind",
+                        "n_bytes", "width", "height")
 
 
 @register("raster_vector_roundtrip", None)

@@ -60,11 +60,16 @@ def test_crossing_tile_predicate():
 
 
 def test_bresenham_endpoints_and_symmetry():
+    # gd normalizes to the left-most (dx-major) / top-most (dy-major)
+    # endpoint before rasterizing, so the pixel SET is direction-
+    # independent and both endpoints are always in it
     for (x1, y1, x2, y2) in [(0, 0, 10, 3), (5, 5, 5, 5), (9, 2, 0, 7), (3, 8, 3, 1)]:
         xs, ys = draw.line_points(x1, y1, x2, y2)
-        assert (xs[0], ys[0]) == (x1, y1)
-        assert (xs[-1], ys[-1]) == (x2, y2)
+        pts = set(zip(xs.tolist(), ys.tolist()))
+        assert (x1, y1) in pts and (x2, y2) in pts
         assert len(xs) == max(abs(x2 - x1), abs(y2 - y1)) + 1
+        rx, ry = draw.line_points(x2, y2, x1, y1)
+        assert set(zip(rx.tolist(), ry.tolist())) == pts
 
 
 def test_fill_ellipse_center_and_extent():

@@ -17,7 +17,7 @@ def test_salted_equals_unsalted(spark):
     # forces nearly every tile through the salted path
     cfg_plain = EngineConfig(zoom_min=1, zoom_max=8)
     cfg_salt = EngineConfig(zoom_min=1, zoom_max=8, salt_buckets=4,
-                            hot_tile_threshold=10)
+                            hot_tile_threshold=10, hot_detect_fraction=1.0)
     docs = generate_documents(spark, 16, partitions=4).cache()
     ev = build_events(parse_documents(docs), cfg_plain).persist()
 
