@@ -29,8 +29,11 @@ def run_bench(sf_dir: str, cpus: int, n_render_docs: int | None = None):
     from gpx2tiles_spark.session import get_spark
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # cpus*4 shuffle partitions: the rasterize fold pins this count
+    # explicitly (row-cost-scaled Python stage — AQE's byte-based
+    # coalescing would re-clump the hot-corridor tiles)
     spark = get_spark(app="bench", master=f"local[{cpus}]",
-                      shuffle_partitions=max(8, cpus))
+                      shuffle_partitions=max(8, cpus * 4))
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}

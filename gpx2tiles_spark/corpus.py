@@ -149,8 +149,11 @@ def generate_document(doc_id: int) -> list[dict]:
 
 
 def generate_documents(spark: SparkSession, n_docs: int,
-                       partitions: int | None = None) -> DataFrame:
-    """Distributed deterministic corpus as a DataFrame."""
+                       partitions: int | None = None,
+                       start: int = 0) -> DataFrame:
+    """Distributed deterministic corpus as a DataFrame (doc ids
+    [start, start + n_docs) — a doc's content depends only on its id, so
+    disjoint ranges from different processes tile the same corpus)."""
 
     def gen(batches):
         for pdf in batches:
@@ -159,7 +162,8 @@ def generate_documents(spark: SparkSession, n_docs: int,
                     for i in pdf["id"]]
             yield pd.DataFrame(rows)
 
-    rng = spark.range(n_docs, numPartitions=partitions or max(8, n_docs // 2048))
+    rng = spark.range(start, start + n_docs,
+                      numPartitions=partitions or max(8, n_docs // 2048))
     return rng.mapInPandas(gen, SPANS_SCHEMA)
 
 

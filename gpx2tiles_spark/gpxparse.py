@@ -214,20 +214,32 @@ def earth_distance(lat1, lon1, lat2, lon2) -> float:
     return 6371000.0 * math.acos(a if a < 1.0 else 1.0)
 
 
-def gpxtime2sec(t: str) -> int | None:
+def gpxtime2sec(t: str, local_time: bool = False) -> int | None:
     """Epoch seconds of an ISO stamp prefix; None if unparseable.
 
     The reference (gpx.c:260-271) interprets stamps via mktime in LOCAL
-    time and falls back to now() — under the engine's pinned TZ=UTC this
-    equals timegm; "now" on both sides of a delta cancels, modeled as None
-    (SURVEY.md §2.8 K6)."""
+    time: the tm is seeded from gmtime(now) (tm_isdst == 0, i.e. forced
+    standard time), strptime overwrites the date fields, mktime applies
+    the process TZ's STANDARD offset.  ``local_time=True`` reproduces
+    that bug-for-bug (mktime on a tm_isdst=0 struct).  The default keeps
+    the engine's documented divergence — pinned UTC via timegm, identical
+    to the reference under TZ=UTC and off by the standard offset (never
+    the DST offset) elsewhere.  Fall-back "now" appears on both sides of
+    every delta the reference computes, modeled as None (SURVEY §2.8 K6).
+    """
     try:
-        return timegm(strptime(t[:19], "%Y-%m-%dT%H:%M:%S"))
+        st = strptime(t[:19], "%Y-%m-%dT%H:%M:%S")
     except ValueError:
         return None
+    if local_time:
+        from time import mktime, struct_time
+
+        # gmtime-seeded tm has tm_isdst = 0 (gpx.c:265) — force it
+        return int(mktime(struct_time(st[:8] + (0,))))
+    return timegm(st)
 
 
-def synthesize_segment_speeds(points: list[Point]) -> None:
+def synthesize_segment_speeds(points: list[Point], local_time: bool = False) -> None:
     """Sequential speed gap-fill of one segment (gpx.c:273-299,363-373)."""
     for i in range(1, len(points)):
         pt = points[i]
@@ -240,14 +252,15 @@ def synthesize_segment_speeds(points: list[Point]) -> None:
             pt.speed = (ppt.speed + nxt.speed) / 2.0
         else:
             d = earth_distance(ppt.lat, ppt.lon, pt.lat, pt.lon)
-            t1, t2 = gpxtime2sec(pt.time), gpxtime2sec(ppt.time)
+            t1 = gpxtime2sec(pt.time, local_time)
+            t2 = gpxtime2sec(ppt.time, local_time)
             dt = (t1 - t2) if (t1 is not None and t2 is not None) else 0
             if dt < 1:
                 dt = 1
             pt.speed = d / float(dt)
 
 
-def process_trkseg(xseg) -> list[Segment]:
+def process_trkseg(xseg, local_time: bool = False) -> list[Segment]:
     """One <trkseg> → ordered segments (process_trk_points, gpx.c:301-382)."""
     # segtab as an ordered stack: emitted head-first
     order: list[str] = [SRC_GPS, SRC_NETWORK, SRC_UNKNOWN]  # init_segtab push order reversed
@@ -288,12 +301,13 @@ def process_trkseg(xseg) -> list[Segment]:
         if seg is None or not seg.points:
             continue
         if synspeed:
-            synthesize_segment_speeds(seg.points)
+            synthesize_segment_speeds(seg.points, local_time)
         out.append(seg)
     return out
 
 
-def parse_gpx_document(xml_texts: list[str]) -> tuple[str, list[Segment], list[Point], int]:
+def parse_gpx_document(xml_texts: list[str], local_time: bool = False
+                       ) -> tuple[str, list[Segment], list[Point], int]:
     """Parse one document's GPX span strings in span order.
 
     Returns (file_time, segments, waypoints, points_cnt) — the engine
@@ -328,7 +342,7 @@ def parse_gpx_document(xml_texts: list[str]) -> tuple[str, list[Segment], list[P
                 for xseg in el:
                     if _local(xseg.tag) != "trkseg":
                         continue
-                    segs = process_trkseg(xseg)
+                    segs = process_trkseg(xseg, local_time)
                     segments.extend(segs)
                     cnt += sum(len(s.points) for s in segs)
     return file_time, segments, wpts, cnt

@@ -54,12 +54,12 @@ _PT_COLS = ("lat lon time speed sat ele geoidheight course hdop vdop pdop "
 WPT_SEG_ORDER = 1 << 20
 
 
-def _doc_rows(doc_id: str, spans) -> list[tuple]:
+def _doc_rows(doc_id: str, spans, local_time: bool = False) -> list[tuple]:
     gpx_texts = [s["text"] for s in spans
                  if s["kind"] == "gpx" and s["text"]]
     if not gpx_texts:
         return []
-    file_time, segments, wpts, _cnt = parse_gpx_document(gpx_texts)
+    file_time, segments, wpts, _cnt = parse_gpx_document(gpx_texts, local_time)
     rows = []
     for seg_order, seg in enumerate(segments):
         for pt_idx, p in enumerate(seg.points):
@@ -75,34 +75,38 @@ def _doc_rows(doc_id: str, spans) -> list[tuple]:
     return rows
 
 
-def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    cols = list(POINTS_SCHEMA.fieldNames())
-    for pdf in batches:
-        rows: list[tuple] = []
-        for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
-            rows.extend(_doc_rows(doc_id, spans))
-        out = pd.DataFrame(rows, columns=cols)
-        if len(out):
-            out = out.astype({
-                "seg_order": np.int32, "pt_idx": np.int32, "sat": np.int32,
-                "flags": np.int32, "lat": np.float64, "lon": np.float64,
-                "speed": np.float64, "ele": np.float32,
-                "geoidheight": np.float32, "course": np.float32,
-                "hdop": np.float32, "vdop": np.float32, "pdop": np.float32,
-            })
-        yield out
+def _make_parse_batches(local_time: bool = False):
+    def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = list(POINTS_SCHEMA.fieldNames())
+        for pdf in batches:
+            rows: list[tuple] = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                rows.extend(_doc_rows(doc_id, spans, local_time))
+            out = pd.DataFrame(rows, columns=cols)
+            if len(out):
+                out = out.astype({
+                    "seg_order": np.int32, "pt_idx": np.int32, "sat": np.int32,
+                    "flags": np.int32, "lat": np.float64, "lon": np.float64,
+                    "speed": np.float64, "ele": np.float32,
+                    "geoidheight": np.float32, "course": np.float32,
+                    "hdop": np.float32, "vdop": np.float32, "pdop": np.float32,
+                })
+            yield out
+    return _parse_batches
 
 
-def parse_documents(documents: DataFrame) -> DataFrame:
+def parse_documents(documents: DataFrame, local_time: bool = False) -> DataFrame:
     """documents(doc_id, spans) → points (map-only, no shuffle).
 
     Column pruning: only doc_id + spans are read from the scan; the
     filter to gpx spans happens inside the Arrow batch (the spans of one
     doc live in one cell — a relational pre-filter would need posexplode
     + re-group, i.e. a shuffle the reference's per-file parse never pays).
+    ``local_time=True`` reproduces the reference's mktime local-time
+    quirk (K6) for deltas; default pins UTC.
     """
     return documents.select("doc_id", "spans").mapInPandas(
-        _parse_batches, POINTS_SCHEMA
+        _make_parse_batches(local_time), POINTS_SCHEMA
     )
 
 

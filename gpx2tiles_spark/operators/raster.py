@@ -268,7 +268,7 @@ def _rasterize_heatmap_counts(events: DataFrame, cfg: EngineConfig) -> DataFrame
         F.countDistinct("doc_id").alias("n_docs"))
     part = (
         counts.join(docs, ["z", "tx", "ty"])  # co-partitioned after the aggs
-        .repartition("z", "tx", "ty")
+        .repartition(_fold_partitions(counts), "z", "tx", "ty")
         .sortWithinPartitions("z", "tx", "ty")
     )
     _COLS = ("z", "tx", "ty", "x1", "y1", "hits", "n_docs")
@@ -314,28 +314,38 @@ def _rasterize_heatmap_counts(events: DataFrame, cfg: EngineConfig) -> DataFrame
     return part.mapInPandas(fold_partition, TILES_SCHEMA)
 
 
-def _rasterize_partitions(events: DataFrame, cfg: EngineConfig) -> DataFrame:
-    """Fast path: one shuffle keyed (z,tx,ty) + in-partition sort, then a
-    partition-level ``mapInPandas`` that slices contiguous tile groups out
-    of each Arrow batch.  Same result as groupBy().applyInPandas but
-    without the per-group pandas overhead (one tile = one numpy slice,
-    not one pandas DataFrame + one UDF invocation).
+def _fold_partitions(df: DataFrame) -> int:
+    """Partition count for shuffles feeding the Python fold — EXPLICIT,
+    so AQE cannot coalesce them.  AQE's byte-based advisory (64 MB)
+    is calibrated for JVM operators; a 64 MB event partition is ~1.5M
+    rows ≈ a minute of single-core Python fold — at 4N cores the
+    coalesced hot-corridor partitions become the wall-time floor
+    (measured: top partitions 8× the mean on the skewed corpus)."""
+    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
 
-    A tile's rows can straddle Arrow batch boundaries, so the folder
-    carries the trailing partial group into the next batch."""
 
-    # the JVM sort fixes the painter order; python only needs numeric
-    # columns — the doc_id string is replaced by a hash AFTER the sort
-    # (projection preserves row order) so the Arrow→pandas payload is
-    # string-free (5-10× cheaper conversion at millions of events)
-    part = (
-        events.repartition("z", "tx", "ty")
+def prepared_events(events: DataFrame) -> DataFrame:
+    """The rasterizer's physical input: one shuffle keyed (z,tx,ty) +
+    in-partition painter sort + string-free projection.
+
+    The JVM sort fixes the painter order; python only needs numeric
+    columns — the doc_id string is replaced by a hash AFTER the sort
+    (projection preserves row order) so the Arrow→pandas payload is
+    string-free (5-10× cheaper conversion at millions of events)."""
+    return (
+        events.repartition(_fold_partitions(events), "z", "tx", "ty")
         .sortWithinPartitions("z", "tx", "ty", "doc_id", "seg_order",
                               "pt_idx", "etype")
         .select("z", "tx", "ty", "etype", "x1", "y1", "x2", "y2", "color",
                 F.xxhash64("doc_id").alias("doc_key"))
     )
 
+
+def partition_folder(cfg: EngineConfig):
+    """mapInPandas generator over :func:`prepared_events` output: slices
+    contiguous tile groups out of each Arrow batch (one tile = one numpy
+    slice, not one pandas DataFrame + one UDF invocation), carrying the
+    trailing partial group into the next batch."""
     _COLS = ("z", "tx", "ty", "etype", "x1", "y1", "x2", "y2", "color",
              "doc_key")
 
@@ -375,7 +385,15 @@ def _rasterize_partitions(events: DataFrame, cfg: EngineConfig) -> DataFrame:
         if carry is not None and len(carry["z"]):
             yield pd.DataFrame([finish(carry, 0, len(carry["z"]))])
 
-    return part.mapInPandas(fold_partition, TILES_SCHEMA)
+    return fold_partition
+
+
+def _rasterize_partitions(events: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Fast path: shuffle + painter sort (prepared_events) → partition-
+    sliced fold (partition_folder).  Same result as
+    groupBy().applyInPandas without the per-group pandas overhead."""
+    return prepared_events(events).mapInPandas(partition_folder(cfg),
+                                               TILES_SCHEMA)
 
 
 PIXELS_SCHEMA = T.StructType([
@@ -496,7 +514,7 @@ def rasterize_salted(events: DataFrame, cfg: EngineConfig) -> DataFrame:
     ev = events.filter(key_col.isin(hot_keys)).withColumn("salt", salt)
 
     part = (
-        ev.repartition("z", "tx", "ty", "salt")
+        ev.repartition(_fold_partitions(ev), "z", "tx", "ty", "salt")
         .sortWithinPartitions("z", "tx", "ty", "salt", "doc_id", "seg_order",
                               "pt_idx", "etype")
     )

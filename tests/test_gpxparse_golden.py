@@ -113,3 +113,32 @@ def test_pseudo_time_counter_skips_drops():
     _, segs, _, cnt = G.parse_gpx_document([xml])
     assert cnt == 2
     assert [p.time for p in segs[0].points] == ["0", "1"]
+
+
+def test_gpxtime2sec_local_time_quirk():
+    # K6: the reference seeds tm from gmtime(now) (tm_isdst == 0) and runs
+    # mktime → stamps shift by the STANDARD (never DST) offset of the
+    # process TZ.  local_time=True reproduces it; default pins UTC.
+    import os
+    import time as _time
+
+    from calendar import timegm
+    from time import strptime
+
+    utc = G.gpxtime2sec("2016-06-25T10:00:00Z")
+    assert utc == timegm(strptime("2016-06-25T10:00:00", "%Y-%m-%dT%H:%M:%S"))
+    old = os.environ.get("TZ")
+    try:
+        os.environ["TZ"] = "America/New_York"
+        _time.tzset()
+        local = G.gpxtime2sec("2016-06-25T10:00:00Z", local_time=True)
+        # June in New York: DST offset is 4h, STANDARD offset is 5h — the
+        # forced tm_isdst=0 makes mktime apply the 5h standard offset
+        assert local == utc + 5 * 3600
+        assert G.gpxtime2sec("2016-06-25T10:00:00Z") == utc  # default unchanged
+    finally:
+        if old is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old
+        _time.tzset()

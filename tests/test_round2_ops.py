@@ -249,3 +249,30 @@ def test_multimodal_queries_hashable_and_green(spark):
     assert len(got) == len(want) > 0
     for c in ["doc_id", "media_ref", "n_bytes", "width", "height"]:
         assert got[c].tolist() == want[c].tolist(), c
+
+
+# --- S8 text dump -----------------------------------------------------------------
+
+def test_dump_text_format(spark, tmp_path, pdop_doc):
+    from gpx2tiles_spark.operators.dump import write_dump, zoom_census_lines
+    points = parse_documents(pdop_doc)
+    out = str(tmp_path / "dump.txt")
+    write_dump(points, EngineConfig(), out, zoom_max=18)
+    text = open(out).read()
+    # header: From <doc> (<cnt>); 2 parsed points
+    assert text.startswith("From pdop0 (2)\n")
+    # point line: " <seg> (<src>): %f,%f <time>"
+    assert " 0 (): 48.915000,8.503000 2016-06-25T10:00:00Z\n" in text
+    # 18-zoom tile list with the 60-col wrap: z1..z18 all present
+    assert " 1/1/0" in text and " 18/" in text
+    # the wrap breaks the tile list into multiple lines (total ~170 chars)
+    tile_section = text.split("2016-06-25T10:00:00Z\n")[1].split(" spd")[0]
+    assert tile_section.count("\n") >= 2
+    # pdop diagnostic line on the first point (flags keep PDOP there;
+    # speed synthesis overwrites the SECOND point's flags to SPEED-only)
+    assert " pdop 2.500000" in text
+    assert "  spd " in text  # synthesized speed printed for point 2
+    census = {r.z: r.census for r in
+              zoom_census_lines(points, EngineConfig(zoom_min=1, zoom_max=3)).collect()}
+    assert set(census) == {1, 2, 3}
+    assert census[1].startswith(" ") and "(2)" in census[1]
