@@ -1152,19 +1152,39 @@ def q_render_heatmap(spark, sf_dir):
                         F.col("n_docs").cast("long").alias("n_docs"))
 
 
-@register("incremental_store", None)
+_INCR_SQL = f"""
+  WITH pts AS (
+    SELECT kind, lat, lon
+    FROM read_parquet('{os.path.join(_ORACLE_CACHE, "points_n40.parquet",
+                                     "*.parquet")}')),
+  zs AS (SELECT CAST(unnest(generate_series(1, 6)) AS INT) AS z)
+  SELECT z,
+         CAST(FLOOR(((lon + 180.0) / 360.0) * POW(2.0, z)) AS INT) AS tx,
+         CAST(FLOOR(((1.0 - LN(TAN(RADIANS(lat)) + 1.0/COS(RADIANS(lat)))
+              / PI()) / 2.0) * POW(2.0, z)) AS INT) AS ty,
+         COUNT(*) AS point_cnt
+  FROM pts, zs WHERE kind = 'trkpt'
+  GROUP BY 1, 2, 3
+"""
+
+
+@register("incremental_store", _INCR_SQL)
 def q_incremental_store(spark, sf_dir):
-    """Checkpointed two-batch incremental render; returns the final
-    snapshot's tile stats (resume/lineage path — streaming/incremental)."""
+    """Checkpointed two-batch incremental render through the delta-
+    snapshot TileStore; the merged store's cumulative per-tile point
+    counts must equal the one-shot stamp pyramid (zooms 1-6 sit below
+    z_no_lines, so the tile set is exactly the stamp relation — fully
+    SQL-able, which makes the resume/merge path itself oracle-checked)."""
     import tempfile
 
     from .config import EngineConfig
     from .streaming.incremental import process_batches
+    _points_cache(spark, sf_dir)
     cfg = EngineConfig(zoom_min=1, zoom_max=6)
     with tempfile.TemporaryDirectory() as d:
         store = process_batches(spark, _sf_docs(spark, sf_dir), d, cfg,
                                 n_batches=2)
-        cur = store.current().select("z", "tx", "ty", "point_cnt", "n_events")
+        cur = store.current().select("z", "tx", "ty", "point_cnt")
         cur = cur.persist()
         cur.count()
         return cur
