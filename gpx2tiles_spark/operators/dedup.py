@@ -129,13 +129,21 @@ def simhash_hamming_pairs(sims: DataFrame, max_hamming: int = 4) -> DataFrame:
     for s in sizes:
         offs.append(o)
         o += s
-    bands = None
-    for b, (off, size) in enumerate(zip(offs, sizes)):
-        chunk = F.shiftright(F.col("simhash"), off).bitwiseAND(
-            F.lit((1 << size) - 1))
-        r = sims.select("doc_id", "simhash", F.lit(b).alias("band"),
-                        chunk.alias("band_bits"))
-        bands = r if bands is None else bands.unionByName(r)
+    # one explode, not an nbands-way union: the upstream simhash
+    # aggregation is computed ONCE and a Generate fans each row into its
+    # nbands (band, band_bits) rows — at 10^12 docs a union would rescan
+    # and re-aggregate the corpus per band
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), off)
+            .bitwiseAND(F.lit((1 << size) - 1)).alias("band_bits"))
+        for b, (off, size) in enumerate(zip(offs, sizes))
+    ])
+    bands = (sims.select("doc_id", "simhash",
+                         F.explode(band_structs).alias("_b"))
+             .select("doc_id", "simhash", F.col("_b.band").alias("band"),
+                     F.col("_b.band_bits").alias("band_bits")))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, ["band", "band_bits"])

@@ -35,13 +35,14 @@ def render_pyramid(documents: DataFrame, cfg: EngineConfig | None = None,
                    out_dir: str | None = None,
                    store: DataFrame | None = None) -> RenderResult:
     cfg = cfg or EngineConfig()
-    points = parse_documents(documents)
-    if (cfg.heatmap or cfg.salt_buckets > 0) and store is None:
-        # the renderer splits events into disjoint branches (heatmap
-        # zoom zones / hot-cold tiles) — persist the PRE-explode points so
-        # the expensive parse runs once and only the cheap zoom explode
-        # re-derives per branch
-        points = points.persist()
+    # ALWAYS persist the pre-explode points: the event relation is a
+    # 7-branch union (stamps / lines ×2 / circles / PDOP ×2 / wpt stamps)
+    # and Catalyst prunes the shared Window out of the branches that
+    # don't read lag columns — without a cache each branch re-runs the
+    # expensive parse from the scan (observed 7× parse in the physical
+    # plan, docs/PLANS.md).  points is the natural multi-consumer
+    # materialization point at any scale.
+    points = parse_documents(documents).persist()
     events = build_events(points, cfg)
     if cfg.salt_buckets > 0 and not cfg.heatmap and store is None:
         from ..operators.raster import rasterize_salted

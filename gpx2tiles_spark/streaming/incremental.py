@@ -141,7 +141,9 @@ class TileStore:
         committed keys are skipped."""
         if batch_key in self.committed_batches():
             return None
-        points = parse_documents(documents)
+        # persist: the event union's branches each re-derive from the
+        # scan otherwise (see plans/pipeline.py render_pyramid)
+        points = parse_documents(documents).persist()
         events = build_events(points, cfg)
         store = self.current()
         if store is None:
