@@ -328,9 +328,12 @@ def lines_points_batch(x1, y1, x2, y2, thick: int = 1,
                 np.zeros(nlines, np.int64))
     line_start = np.concatenate(([0], np.cumsum(n)[:-1]))
     u = np.arange(total) - np.repeat(line_start, n)   # 0..steps*wid-1
-    rwid = np.repeat(wid, n)
-    t = u // rwid                                      # major step index
-    o = u % rwid                                       # offset within span
+    if thick <= 1:
+        t, o, rwid = u, 0, 1                          # 1px fast path
+    else:
+        rwid = np.repeat(wid, n)
+        t = u // rwid                                  # major step index
+        o = u % rwid                                   # offset within span
     rmaj = np.repeat(major, n)
     rdx = np.repeat(dx, n); rdy = np.repeat(dy, n)
     rx1 = np.repeat(sx1, n); ry1 = np.repeat(sy1, n)

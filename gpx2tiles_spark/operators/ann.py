@@ -84,6 +84,49 @@ def _signature(vec: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+def embedding_near_dup(vectors: DataFrame, threshold_micro: int = 950_000,
+                       n_tables: int = 8, planes_per_table: int = 4,
+                       dim: int = 64, max_bucket: int | None = 10_000
+                       ) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: cos(a, b) >= threshold among
+    pairs sharing ANY hyperplane-LSH table bucket, exact cosine re-check
+    inside the candidate set (the embedding member of the dedup family —
+    the scale shape is the same banded equi-join as MinHash/SimHash, with
+    the same degenerate-bucket cap).
+
+    Returns (vec_a, vec_b, cos_micro) with vec_a < vec_b."""
+    planes = _hyperplanes(dim, n_tables * planes_per_table)
+    tables = [planes[t * planes_per_table:(t + 1) * planes_per_table]
+              for t in range(n_tables)]
+    rows = F.array(*[
+        F.struct(F.lit(t).alias("tbl"),
+                 _signature(F.col("embedding"), tables[t]).alias("bkt"))
+        for t in range(n_tables)
+    ])
+    sigs = (vectors.select("vec_id", "embedding",
+                           F.explode(rows).alias("_tb"))
+            .select("vec_id", "embedding", F.col("_tb.tbl").alias("tbl"),
+                    F.col("_tb.bkt").alias("bkt")))
+    if max_bucket is not None:
+        w = Window.partitionBy("tbl", "bkt")
+        sigs = (sigs.withColumn("_n", F.count("*").over(w))
+                .filter(F.col("_n") <= max_bucket).drop("_n"))
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    cand = (
+        a.join(b, ["tbl", "bkt"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                F.col("a.embedding").alias("embedding"),
+                F.col("b.embedding").alias("q_embedding"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    scored = with_cosine(cand)
+    return (scored.filter(F.col("cos_micro") >= F.lit(threshold_micro))
+            .select("vec_a", "vec_b", "cos_micro"))
+
+
 def cosine_topk_lsh(vectors: DataFrame, queries: DataFrame, k: int = 10,
                     n_tables: int = 8, planes_per_table: int = 4,
                     dim: int = 64) -> DataFrame:

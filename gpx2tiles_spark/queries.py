@@ -1073,6 +1073,54 @@ _ANN_LSH_SQL = f"""
 """
 
 
+_NEAR_DUP_SQL = f"""
+  WITH pos AS (
+    SELECT vec_id,
+           CAST(unnest(generate_series(1, len(embedding))) AS INT) - 1 AS d,
+           unnest(list_transform(generate_series(1, len(embedding)),
+                                 i -> CAST(embedding[i] AS DOUBLE))) AS v
+    FROM embeddings),
+  dims AS (SELECT CAST(unnest(generate_series(0, 63)) AS INT) AS d),
+  planes AS (SELECT CAST(unnest(generate_series(0, 31)) AS INT) AS p),
+  pv AS (SELECT p, d, {_PLANE_BIT_SQL} AS pval FROM planes, dims),
+  dots AS (
+    SELECT pos.vec_id, pv.p, SUM(pos.v * pv.pval) AS dt
+    FROM pos JOIN pv ON pos.d = pv.d GROUP BY 1, 2),
+  sigs AS (
+    SELECT vec_id, CAST(p // 4 AS INT) AS tbl,
+           CAST(SUM(CASE WHEN dt > 0 THEN 1 << (p % 4) ELSE 0 END) AS BIGINT) AS bkt
+    FROM dots GROUP BY 1, 2),
+  cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.bkt = b.bkt
+    WHERE a.vec_id < b.vec_id),
+  norms AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM pos GROUP BY 1),
+  cdots AS (
+    SELECT c.vec_a, c.vec_b, SUM(pa.v * pb.v) AS dot
+    FROM cand c
+    JOIN pos pa ON pa.vec_id = c.vec_a
+    JOIN pos pb ON pb.vec_id = c.vec_b AND pb.d = pa.d
+    GROUP BY 1, 2)
+  SELECT vec_a, vec_b,
+         CAST(FLOOR(dot / (na.nrm * nb.nrm) * 1000000.0) AS BIGINT) AS cos_micro
+  FROM cdots
+  JOIN norms na ON na.vec_id = vec_a
+  JOIN norms nb ON nb.vec_id = vec_b
+  WHERE FLOOR(dot / (na.nrm * nb.nrm) * 1000000.0) >= 400000
+"""
+
+
+@register("embedding_near_dup", _NEAR_DUP_SQL)
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via hyperplane-LSH buckets + exact
+    re-check (the dedup family's embedding member).  The oracle
+    re-derives the SAME index in SQL, so approximation and exact check
+    are both hash-verified."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann.embedding_near_dup(emb.select("vec_id", "embedding"),
+                                  threshold_micro=400_000)
+
+
 @register("ann_lsh", _ANN_LSH_SQL)
 def q_ann_lsh(spark, sf_dir):
     """Multi-table hyperplane-LSH ANN with a FULL oracle: the md5 plane
@@ -1166,6 +1214,61 @@ _INCR_SQL = f"""
   FROM pts, zs WHERE kind = 'trkpt'
   GROUP BY 1, 2, 3
 """
+
+
+@register("streaming_sessionize", """
+  WITH s AS (
+    SELECT user_id, event_id,
+           CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER w > 1800
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+  SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+         COUNT(*) AS n_events
+  FROM s GROUP BY user_id
+""")
+def q_streaming_sessionize(spark, sf_dir):
+    """Custom STATEFUL STREAMING operator (applyInPandasWithState),
+    oracle-checked against the batch sessionize SQL: the events table is
+    replayed as a 2-file event-time-ordered stream, per-user state
+    (last ts, counters) carries across micro-batches, and the converged
+    per-user totals must equal the batch window computation exactly."""
+    import glob
+    import shutil
+    import tempfile
+    import time as _time
+
+    from .streaming.live import sessionize_stateful
+
+    ev = _t(spark, sf_dir, "events")
+    # exact split point via percentile on epoch (deterministic); the NTZ
+    # column needs the timestamp hop before the double cast
+    es = F.col("ts").cast("timestamp").cast("double")
+    mid = ev.select(F.percentile(es, F.lit(0.5)).alias("m")).collect()[0][0]
+    tmp = tempfile.mkdtemp(prefix="stream_sess_")
+    src_dir = os.path.join(tmp, "in")
+    os.makedirs(src_dir)
+    for i, part in enumerate([ev.filter(es < mid), ev.filter(es >= mid)]):
+        stage = os.path.join(tmp, f"stage{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        src = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(src, os.path.join(src_dir, f"{i:04d}.parquet"))
+        _time.sleep(1.1)  # distinct mod times → in-order file pickup
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    name = f"sess_{abs(hash(sf_dir)) % 99999}"
+    q = (sessionize_stateful(stream, gap_minutes=30.0)
+         .writeStream.format("memory").queryName(name)
+         .outputMode("update")
+         .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    # last update per user (counters are monotone across batches)
+    out = (spark.table(name).groupBy("user_id")
+           .agg(F.max("n_sessions").alias("n_sessions"),
+                F.max("n_events").alias("n_events"))
+           .persist())
+    out.count()
+    return out
 
 
 @register("incremental_store", _INCR_SQL)

@@ -1,0 +1,110 @@
+"""Structured Streaming operators over the live event stream.
+
+Two shapes the 100 TB pipeline needs beyond the foreachBatch tile
+updater (incremental.py):
+
+- ``windowed_tile_counts`` — event-time tumbling-window per-tile counts
+  with a WATERMARK: late points inside the watermark still land in
+  their window; state for closed windows is dropped, so the operator
+  runs forever on bounded memory (the streaming twin of A1).
+- ``sessionize_stateful`` — a CUSTOM stateful operator via
+  ``applyInPandasWithState``: per-user gap sessionization whose state
+  (last event time, running session/event counters) persists across
+  micro-batches.  This is the engine's template for reference-style
+  sequential semantics on an unbounded stream (the batch twin is
+  operators/geo.sessionize; the oracle is the same SQL).
+
+Both are pure event-time operators: determinism comes from the data,
+not arrival wall-clock, so a replay yields identical results.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from .. import projection as P
+
+
+def windowed_tile_counts(stream_points: DataFrame, z: int = 12,
+                         window: str = "10 minutes",
+                         watermark: str = "30 minutes") -> DataFrame:
+    """Streaming A1: per-(event-time window, tile) point counts.
+
+    ``stream_points`` needs (ts: timestamp, lat, lon).  The watermark
+    bounds state: a window closes once the event-time high-water mark
+    passes window_end + watermark, after which its count is final and
+    its state evicted."""
+    tx = P.tilex_col(F.col("lon"), z)
+    ty = P.tiley_col(F.col("lat"), z)
+    return (
+        stream_points.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"),
+                 tx.alias("tx"), ty.alias("ty"))
+        .agg(F.count("*").alias("point_cnt"))
+        .select(F.col("w.start").alias("window_start"), "tx", "ty",
+                "point_cnt")
+    )
+
+
+SESSION_OUTPUT = T.StructType([
+    T.StructField("user_id", T.LongType(), False),
+    T.StructField("n_events", T.LongType(), False),
+    T.StructField("n_sessions", T.LongType(), False),
+])
+
+SESSION_STATE = T.StructType([
+    T.StructField("last_es", T.DoubleType(), True),
+    T.StructField("n_events", T.LongType(), True),
+    T.StructField("n_sessions", T.LongType(), True),
+])
+
+
+def _session_fn(gap_sec: float):
+    def fn(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last_es, n_events, n_sessions = state.get
+        else:
+            last_es, n_events, n_sessions = None, 0, 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["es", "event_id"], kind="stable")
+            for es in pdf["es"]:
+                es = float(es)
+                if last_es is None or es - last_es > gap_sec:
+                    n_sessions += 1
+                last_es = es
+                n_events += 1
+        state.update((last_es, n_events, n_sessions))
+        yield pd.DataFrame([{
+            "user_id": int(key[0]), "n_events": n_events,
+            "n_sessions": n_sessions,
+        }])
+
+    return fn
+
+
+def sessionize_stateful(stream_events: DataFrame,
+                        gap_minutes: float = 30.0) -> DataFrame:
+    """Custom stateful streaming sessionizer (applyInPandasWithState).
+
+    Per user, a new session starts when the gap to the previous event
+    exceeds ``gap_minutes``; per-user state carries (last event time,
+    cumulative event/session counts) across micro-batches, so replaying
+    the stream in event-time order converges to the batch sessionizer
+    (oracle: the `sessionize` SQL; pytest: exact equality after an
+    ordered two-batch replay).
+
+    ``stream_events`` needs (user_id, event_id, ts: timestamp)."""
+    src = stream_events.select(
+        "user_id", "event_id",
+        F.col("ts").cast("timestamp").cast("double").alias("es"))
+    return src.groupBy("user_id").applyInPandasWithState(
+        _session_fn(gap_minutes * 60.0),
+        SESSION_OUTPUT, SESSION_STATE,
+        "update", GroupStateTimeout.NoTimeout)
