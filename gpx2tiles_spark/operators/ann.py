@@ -84,6 +84,59 @@ def _signature(vec: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+def _bucketed_pandas(df: DataFrame, vec_col: str, id_col: str,
+                     tables: list[list[list[float]]]):
+    """(id, vec) → (id, vec, tbl, bkt) rows for every hash table, via ONE
+    Arrow-batched numpy pass.
+
+    A Column-expression signature (32 planes × 64-element literal arrays
+    of zip_with/aggregate HOFs) costs Catalyst a megabyte-scale plan and
+    runs interpreted per element; the batched matrix form is the scale
+    path.  Float semantics are preserved exactly: the accumulation runs
+    SEQUENTIALLY over dimensions (acc += v[d]·p[d]), the same order the
+    Column aggregate and the DuckDB oracle use."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    n_tables = len(tables)
+    per = len(tables[0])
+    P = np.asarray([p for t in tables for p in t], np.float64)  # (planes, dim)
+
+    out_schema = T.StructType([
+        T.StructField(id_col, df.schema[id_col].dataType, False),
+        T.StructField(vec_col, df.schema[vec_col].dataType, False),
+        T.StructField("tbl", T.IntegerType(), False),
+        T.StructField("bkt", T.LongType(), False),
+    ])
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray(
+                [np.asarray(v, np.float32).astype(np.float64)
+                 for v in pdf[vec_col]])
+            acc = np.zeros((len(V), P.shape[0]), np.float64)
+            for d in range(P.shape[1]):  # sequential over dims (FP order)
+                acc += V[:, d, None] * P[None, :, d]
+            bits = acc > 0.0
+            sig = np.zeros((len(V), n_tables), np.int64)
+            for t in range(n_tables):
+                for j in range(per):
+                    sig[:, t] |= bits[:, t * per + j].astype(np.int64) << j
+            rows = {
+                id_col: np.repeat(pdf[id_col].to_numpy(), n_tables),
+                vec_col: [v for v in pdf[vec_col] for _ in range(n_tables)],
+                "tbl": np.tile(np.arange(n_tables, dtype=np.int32), len(V)),
+                "bkt": sig.reshape(-1),
+            }
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, vec_col).mapInPandas(gen, out_schema)
+
+
 def embedding_near_dup(vectors: DataFrame, threshold_micro: int = 950_000,
                        n_tables: int = 8, planes_per_table: int = 4,
                        dim: int = 64, max_bucket: int | None = 10_000
@@ -98,15 +151,7 @@ def embedding_near_dup(vectors: DataFrame, threshold_micro: int = 950_000,
     planes = _hyperplanes(dim, n_tables * planes_per_table)
     tables = [planes[t * planes_per_table:(t + 1) * planes_per_table]
               for t in range(n_tables)]
-    rows = F.array(*[
-        F.struct(F.lit(t).alias("tbl"),
-                 _signature(F.col("embedding"), tables[t]).alias("bkt"))
-        for t in range(n_tables)
-    ])
-    sigs = (vectors.select("vec_id", "embedding",
-                           F.explode(rows).alias("_tb"))
-            .select("vec_id", "embedding", F.col("_tb.tbl").alias("tbl"),
-                    F.col("_tb.bkt").alias("bkt")))
+    sigs = _bucketed_pandas(vectors, "embedding", "vec_id", tables)
     if max_bucket is not None:
         w = Window.partitionBy("tbl", "bkt")
         sigs = (sigs.withColumn("_n", F.count("*").over(w))
@@ -139,19 +184,8 @@ def cosine_topk_lsh(vectors: DataFrame, queries: DataFrame, k: int = 10,
     planes = _hyperplanes(dim, n_tables * planes_per_table)
     tables = [planes[t * planes_per_table:(t + 1) * planes_per_table]
               for t in range(n_tables)]
-
-    def bucketed(df: DataFrame, vec_col: str) -> DataFrame:
-        rows = F.array(*[
-            F.struct(F.lit(t).alias("tbl"),
-                     _signature(F.col(vec_col), tables[t]).alias("bkt"))
-            for t in range(n_tables)
-        ])
-        return df.withColumn("tb", F.explode(rows)).select(
-            "*", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt")
-        ).drop("tb")
-
-    v = bucketed(vectors, "embedding")
-    q = bucketed(queries, "q_embedding").select("qid", "q_embedding", "tbl", "bkt")
+    v = _bucketed_pandas(vectors, "embedding", "vec_id", tables)
+    q = _bucketed_pandas(queries, "q_embedding", "qid", tables)
     cand = (
         v.join(F.broadcast(q), ["tbl", "bkt"])
         .select("qid", "vec_id", "embedding", "q_embedding")
