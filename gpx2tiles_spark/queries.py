@@ -904,7 +904,7 @@ def _sf_docs(spark, sf_dir: str) -> DataFrame:
 _ORACLE_CACHE = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     ".oracle_cache")
-_PTS_COLS = ["doc_id", "seg_order", "pt_idx", "kind", "lat", "lon",
+_PTS_COLS = ["doc_id", "seg_order", "pt_idx", "kind", "src", "lat", "lon",
              "speed", "flags"]
 
 
@@ -1171,14 +1171,58 @@ def q_multimodal_meta(spark, sf_dir):
                         "n_bytes", "width", "height")
 
 
-@register("raster_vector_roundtrip", None)
+def _stamp_color_sql() -> str:
+    """Stamp color (gpx2tiles.c:637-653) in SQL: network src or no SPEED
+    flag → spdclr[0]; else the speed table lookup."""
+    cases = " ".join(
+        f"WHEN CAST(FLOOR(speed * 3.6) AS BIGINT) <= {t} THEN {c}"
+        for (t, c) in SPDCLR)
+    return (f"(CASE WHEN src = 'network' OR (flags & 8) = 0 THEN {SPDCLR[0][1]} "
+            f"ELSE (CASE {cases} ELSE {SPDCLR[-1][1]} END) END)")
+
+
+_ROUNDTRIP_SQL = f"""
+  WITH pts AS (
+    SELECT doc_id, seg_order, pt_idx, kind, src, lat, lon, speed, flags
+    FROM read_parquet('{os.path.join(_ORACLE_CACHE, "points_n40.parquet",
+                                     "*.parquet")}')),
+  zs AS (SELECT CAST(unnest(generate_series(4, 6)) AS INT) AS z),
+  tz AS (
+    SELECT pts.*, z,
+           CAST(FLOOR(((lon + 180.0) / 360.0) * POW(2.0, z)) AS INT) AS tx,
+           CAST(FLOOR(((1.0 - LN(TAN(RADIANS(lat)) + 1.0/COS(RADIANS(lat)))
+                / PI()) / 2.0) * POW(2.0, z)) AS INT) AS ty
+    FROM pts, zs WHERE kind = 'trkpt'),
+  pix AS (
+    SELECT doc_id, seg_order, pt_idx, z, tx, ty,
+           {_px_sql('lon', 'tx')} AS px, {_py_sql('lat', 'ty')} AS py,
+           {_stamp_color_sql()} AS rgb
+    FROM tz),
+  lastw AS (
+    SELECT z, tx, ty, px, py, rgb,
+           ROW_NUMBER() OVER (PARTITION BY z, tx, ty, px, py
+                              ORDER BY doc_id DESC, seg_order DESC,
+                                       pt_idx DESC) AS rn
+    FROM pix)
+  SELECT z, tx, ty, COUNT(*) AS painted_px,
+         CAST(COUNT(DISTINCT rgb) AS BIGINT) AS n_colors
+  FROM lastw WHERE rn = 1 GROUP BY 1, 2, 3
+"""
+
+
+@register("raster_vector_roundtrip", _ROUNDTRIP_SQL)
 def q_raster_roundtrip(spark, sf_dir):
-    """J4 round-trip: render → decode PNGs → painted pixels with
-    inverse-projected coordinates (per-pixel vector extraction)."""
+    """J4 round-trip WITH a full oracle: render zooms 4-6 (below
+    z_no_lines → pure stamps), decode the PNGs back to painted pixels
+    (tiles_to_pixels), and compare per-tile painted-pixel and VISIBLE
+    color counts against SQL that replays the painter's
+    last-writer-wins per pixel — the PNG encode/decode and inverse
+    projection round-trip is hash-checked, not just row-counted."""
     from .config import EngineConfig
     from .operators.raster import tiles_to_pixels
     from .plans.pipeline import render_pyramid
-    cfg = EngineConfig(zoom_min=4, zoom_max=8)
+    _points_cache(spark, sf_dir)
+    cfg = EngineConfig(zoom_min=4, zoom_max=6)
     tiles = render_pyramid(_sf_docs(spark, sf_dir), cfg).tiles
     return tiles_to_pixels(tiles).groupBy("z", "tx", "ty").agg(
         F.count("*").alias("painted_px"),
