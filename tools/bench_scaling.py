@@ -304,6 +304,11 @@ external busy cores observed).
   {n * 4} (fold: {lo['fold_cpu']} → {hi['fold_cpu']}) — task stretch is
   memory-subsystem contention, not plan serialization.
 
+Shuffle spill dirs sit on tmpfs (session.py): the sandbox's single
+virtual disk serializes concurrent shuffle writers, which a real
+cluster's per-executor local NVMe does not — measured −22% on the
+event-gen phase with 4 executor JVMs.
+
 ## Why N={n} (substrate evidence)
 
 This sandbox is a 32-vCPU VM whose MEMORY subsystem stops scaling long
