@@ -96,6 +96,8 @@ def run_bench(sf_dir: str, cpus: int, n_render_docs: int | None = None):
 
 
 if __name__ == "__main__":
+    # benches opt in to tmpfs shuffle spill (library default is disk)
+    os.environ.setdefault("SPARK_GRAFT_TMPFS", "1")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     print(json.dumps(run_bench(sf_dir, cpus)))

@@ -447,16 +447,21 @@ def tiles_to_pixels(tiles: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def doc_salt_boundaries(events: DataFrame, buckets: int,
-                        sample_fraction: float = 0.1) -> list[str]:
-    """Order-preserving salt boundaries over doc_id from a BOUNDED row
-    sample: no distinct shuffle, no sort shuffle, and the driver sees at
-    most 10_000·buckets ids (the round-1 all-ids fallback is gone).
+                        target_sample: int = 10_000) -> list[str]:
+    """Order-preserving salt boundaries over doc_id from a pure Bernoulli
+    sample sized off a count: every partition contributes proportionally,
+    so boundaries reflect the whole doc_id range (a sample().limit()
+    variant satisfied the LIMIT from the first partitions, drawing every
+    boundary from a partition-order prefix — the exact skew salting
+    exists to fix).  The driver sees ~target_sample·buckets ids.
     Row-frequency weighting is a feature — boundaries land where the
     events are, balancing bucket LOAD, and boundaries only affect load
     balance, never correctness (contiguous ranges either way)."""
-    rows = (events.select("doc_id")
-            .sample(False, min(1.0, sample_fraction), seed=7)
-            .limit(10_000 * buckets).collect())
+    cnt = events.count()
+    if cnt == 0:
+        return []
+    frac = min(1.0, float(target_sample * buckets) / float(cnt))
+    rows = events.select("doc_id").sample(False, frac, seed=7).collect()
     ids = sorted({r.doc_id for r in rows})
     if len(ids) < buckets:
         return []  # too few docs for salting to help — unsalted path
@@ -482,20 +487,14 @@ def rasterize_salted(events: DataFrame, cfg: EngineConfig) -> DataFrame:
     """
     assert not cfg.heatmap, "heatmap skew is handled by rasterize()'s count merge"
     buckets = max(2, cfg.salt_buckets)
-    bounds = doc_salt_boundaries(events, buckets)
-    if not bounds:
-        return _rasterize_partitions(events, cfg)
 
-    salt = F.lit(0)
-    for b in bounds:
-        salt = salt + F.when(F.col("doc_id") >= F.lit(b), 1).otherwise(0)
-
-    # hot tiles are by definition few — detect them on a 1% sample (the
-    # threshold is ≥ 200k events, so a 1% sample still sees ≥ ~2k per hot
-    # tile; sub-hot tiles misclassified hot just pay a harmless extra
-    # merge) and collect only keys above the scaled threshold: bounded
-    # output, and the detection pass scans 1% of the exploded relation
-    # instead of all of it
+    # hot tiles are by definition few — detect them FIRST on a 1% sample
+    # (the threshold is ≥ 200k events, so a 1% sample still sees ≥ ~2k
+    # per hot tile; sub-hot tiles misclassified hot just pay a harmless
+    # extra merge) and collect only keys above the scaled threshold:
+    # bounded output, and the detection pass scans 1% of the exploded
+    # relation instead of all of it.  No hot tiles (the common case) →
+    # the boundary sampling pass is skipped entirely.
     det_frac = min(1.0, max(cfg.hot_detect_fraction, 1e-6))
     sampled = events if det_frac >= 1.0 else events.sample(False, det_frac, seed=13)
     hot_rows = (sampled.groupBy("z", "tx", "ty").count()
@@ -503,6 +502,14 @@ def rasterize_salted(events: DataFrame, cfg: EngineConfig) -> DataFrame:
                 .select("z", "tx", "ty").collect())
     if not hot_rows:
         return _rasterize_partitions(events, cfg)
+
+    bounds = doc_salt_boundaries(events, buckets)
+    if not bounds:
+        return _rasterize_partitions(events, cfg)
+
+    salt = F.lit(0)
+    for b in bounds:
+        salt = salt + F.when(F.col("doc_id") >= F.lit(b), 1).otherwise(0)
     key_col = (F.col("z").cast("long") * F.lit(1 << 48)
                + F.col("tx").cast("long") * F.lit(1 << 24)
                + F.col("ty").cast("long"))

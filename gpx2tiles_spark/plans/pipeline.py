@@ -29,6 +29,13 @@ from ..operators.tiles import tile_point_counts, with_tile_pixel, with_zooms
 @dataclass
 class RenderResult:
     tiles: DataFrame  # (z, tx, ty, point_cnt, n_events, n_docs, png)
+    points: DataFrame | None = None  # persisted parse output; unpersist()
+    # via release() once tiles are materialized (tiles reads it lazily)
+
+    def release(self) -> None:
+        if self.points is not None:
+            self.points.unpersist()
+            self.points = None
 
 
 def render_pyramid(documents: DataFrame, cfg: EngineConfig | None = None,
@@ -51,8 +58,10 @@ def render_pyramid(documents: DataFrame, cfg: EngineConfig | None = None,
         tiles = rasterize(events, cfg, store=store)
     if out_dir is not None:
         tiles.persist()
-        write_tile_pyramid(tiles, out_dir)
-    return RenderResult(tiles=tiles)
+        write_tile_pyramid(tiles, out_dir)  # materializes tiles …
+        points.unpersist()  # … so the parse cache can be dropped now
+        return RenderResult(tiles=tiles)
+    return RenderResult(tiles=tiles, points=points)
 
 
 def render_counts_only(documents: DataFrame, cfg: EngineConfig | None = None) -> DataFrame:

@@ -908,11 +908,27 @@ _PTS_COLS = ["doc_id", "seg_order", "pt_idx", "kind", "src", "lat", "lon",
              "speed", "flags"]
 
 
+def _relink(link: str, target: str) -> None:
+    """Atomically (re)point a symlink (tmp link + rename)."""
+    tmp = link + ".tmp"
+    if os.path.lexists(tmp):
+        os.remove(tmp)
+    os.symlink(target, tmp)
+    os.replace(tmp, link)
+
+
 def _points_cache(spark, sf_dir: str) -> str:
+    """Materialize the parsed corpus points for THIS sf and repoint the
+    sf-agnostic ``points_current`` symlink at them.  The oracle SQL
+    strings are static (the driver collects them once), so they read
+    through the symlink — whatever scale factor the Spark side of a
+    query just ran at, its oracle sees the matching cache (ADVICE r02:
+    a hardcoded points_n40 path went stale at sf≠0.01)."""
     n = _sf_n_docs(sf_dir)
     path = os.path.join(_ORACLE_CACHE, f"points_n{n}.parquet")
     parse_documents(_sf_docs(spark, sf_dir)).select(*_PTS_COLS) \
         .write.mode("overwrite").parquet(path)
+    _relink(os.path.join(_ORACLE_CACHE, "points_current"), f"points_n{n}.parquet")
     return path
 
 
@@ -945,8 +961,9 @@ def _render_oracle_sql(zmax: int, lines: bool) -> str:
     (gpx2tiles.c:663-703).  Waypoint circles and the PDOP ellipse are
     gated to z > 16 in the reference and the render configs here stop at
     z <= 10, so they contribute nothing by construction."""
-    # Spark writes a parquet DIRECTORY; DuckDB needs the part-file glob
-    cache = os.path.join(_ORACLE_CACHE, "points_n40.parquet", "*.parquet")
+    # Spark writes a parquet DIRECTORY; DuckDB needs the part-file glob.
+    # points_current is the symlink _points_cache repoints per sf.
+    cache = os.path.join(_ORACLE_CACHE, "points_current", "*.parquet")
     txe = "CAST(FLOOR(((lon + 180.0) / 360.0) * POW(2.0, z)) AS INT)"
     ptxe = "CAST(FLOOR(((plon + 180.0) / 360.0) * POW(2.0, z)) AS INT)"
     tye = ("CAST(FLOOR(((1.0 - LN(TAN(RADIANS(lat)) + 1.0/COS(RADIANS(lat)))"
@@ -998,9 +1015,52 @@ def _render_oracle_sql(zmax: int, lines: bool) -> str:
 """
 
 
-@register("parse_points", None)
+_GOLDEN_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests", "golden")
+
+
+def parse_points_comparable(points: DataFrame) -> DataFrame:
+    """Hash-stable projection of the FULL parse output (every column of
+    POINTS_SCHEMA): floats in micro/milli integer units so the driver's
+    value hash is engine-independent.  Shared by q_parse_points and the
+    committed golden parquet (tools/make_golden.py) — the golden is a
+    snapshot of THIS projection, so any parse regression (S1/S2/S3,
+    R1-R4, K6, K10, F7) flips the oracle red."""
+    def milli(c):  # float32 → exact double → milli-units
+        return F.floor(F.col(c).cast("double") * 1000.0).cast("long") \
+                .alias(f"{c}_milli")
+
+    return points.select(
+        "doc_id", "seg_order", "pt_idx", "kind", "src", "time", "file_time",
+        "sat", "flags",
+        F.floor(F.col("lat") * 1e6).cast("long").alias("lat_micro"),
+        F.floor(F.col("lon") * 1e6).cast("long").alias("lon_micro"),
+        F.floor(F.col("speed") * 1000.0).cast("long").alias("speed_milli"),
+        milli("ele"), milli("geoidheight"), milli("course"),
+        milli("hdop"), milli("vdop"), milli("pdop"),
+    )
+
+
+def _golden_oracle_sql(link_name: str) -> str:
+    return f"SELECT * FROM read_parquet('{os.path.join(_ORACLE_CACHE, link_name)}')"
+
+
+def _relink_golden(link_name: str, golden_file: str) -> None:
+    os.makedirs(_ORACLE_CACHE, exist_ok=True)
+    if os.path.exists(golden_file):
+        _relink(os.path.join(_ORACLE_CACHE, link_name), golden_file)
+
+
+@register("parse_points", _golden_oracle_sql("parse_golden_current"))
 def q_parse_points(spark, sf_dir):
-    return parse_documents(_sf_docs(spark, sf_dir))
+    """The core parse (S1/S2/R1-R4) with a GOLDEN-PARQUET oracle: the
+    oracle side is a committed snapshot (tests/golden/) of the same
+    deterministic corpus's parse, per scale factor via the symlink."""
+    n = _sf_n_docs(sf_dir)
+    _relink_golden("parse_golden_current",
+                   os.path.join(_GOLDEN_DIR, f"parse_points_n{n}.parquet"))
+    return parse_points_comparable(parse_documents(_sf_docs(spark, sf_dir)))
 
 
 @register("render_tiles", _render_oracle_sql(10, lines=True))
@@ -1134,8 +1194,7 @@ def q_ann_lsh(spark, sf_dir):
     return ann.cosine_topk_lsh(emb.select("vec_id", "embedding"), qs, k=10)
 
 
-@register("multimodal_features", None)
-def q_multimodal(spark, sf_dir):
+def multimodal_comparable(spark, sf_dir) -> DataFrame:
     """Media spans of the interleaved corpus → Arrow-batched features.
     The feature vector is emitted as a fixed-format string so the output
     is hashable by the driver's canonicalizer (array columns are not)."""
@@ -1146,6 +1205,18 @@ def q_multimodal(spark, sf_dir):
     return feats.select(
         "doc_id", "span_idx", "media_ref", "media_kind", "n_bytes",
         "width", "height", "mean_luma_milli", fstr.alias("feature_csv"))
+
+
+@register("multimodal_features", _golden_oracle_sql("multimodal_golden_current"))
+def q_multimodal(spark, sf_dir):
+    """Fake-decoder features with a GOLDEN-PARQUET oracle: the decoder is
+    deterministic (md5-seeded Philox), so its output is committed once
+    (tests/golden/) and any drift in the decode/pool/feature plumbing
+    flips the oracle red."""
+    n = _sf_n_docs(sf_dir)
+    _relink_golden("multimodal_golden_current",
+                   os.path.join(_GOLDEN_DIR, f"multimodal_features_n{n}.parquet"))
+    return multimodal_comparable(spark, sf_dir)
 
 
 @register("multimodal_meta", """
@@ -1184,7 +1255,7 @@ def _stamp_color_sql() -> str:
 _ROUNDTRIP_SQL = f"""
   WITH pts AS (
     SELECT doc_id, seg_order, pt_idx, kind, src, lat, lon, speed, flags
-    FROM read_parquet('{os.path.join(_ORACLE_CACHE, "points_n40.parquet",
+    FROM read_parquet('{os.path.join(_ORACLE_CACHE, "points_current",
                                      "*.parquet")}')),
   zs AS (SELECT CAST(unnest(generate_series(4, 6)) AS INT) AS z),
   tz AS (
@@ -1247,7 +1318,7 @@ def q_render_heatmap(spark, sf_dir):
 _INCR_SQL = f"""
   WITH pts AS (
     SELECT kind, lat, lon
-    FROM read_parquet('{os.path.join(_ORACLE_CACHE, "points_n40.parquet",
+    FROM read_parquet('{os.path.join(_ORACLE_CACHE, "points_current",
                                      "*.parquet")}')),
   zs AS (SELECT CAST(unnest(generate_series(1, 6)) AS INT) AS z)
   SELECT z,

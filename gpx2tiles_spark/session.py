@@ -37,12 +37,13 @@ def get_spark(app: str = "gpx2tiles_spark", master: str | None = None,
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
     )
-    # shuffle spill dir on tmpfs when available: the sandbox's single
-    # virtual disk serializes concurrent shuffle writers (a real cluster
-    # gives each executor local NVMe); measured −22% on the event-gen
-    # phase with 4 executor JVMs.  SPARK_LOCAL_DIRS / SPARK_GRAFT_DISK=1
-    # override.
-    if (os.path.isdir("/dev/shm") and "SPARK_LOCAL_DIRS" not in os.environ
-            and not os.environ.get("SPARK_GRAFT_DISK")):
+    # OPT-IN shuffle spill on tmpfs (SPARK_GRAFT_TMPFS=1): the sandbox's
+    # single virtual disk serializes concurrent shuffle writers (a real
+    # cluster gives each executor local NVMe); measured −22% on the
+    # event-gen phase with 4 executor JVMs.  Opt-in rather than default:
+    # spill consuming RAM can OOM a memory-tight host, so the benchmarks
+    # enable it explicitly and library consumers keep disk spill.
+    if (os.environ.get("SPARK_GRAFT_TMPFS") and os.path.isdir("/dev/shm")
+            and "SPARK_LOCAL_DIRS" not in os.environ):
         b = b.config("spark.local.dir", "/dev/shm/gpx2tiles_spark_tmp")
     return b.getOrCreate()

@@ -142,17 +142,22 @@ class TileStore:
         if batch_key in self.committed_batches():
             return None
         # persist: the event union's branches each re-derive from the
-        # scan otherwise (see plans/pipeline.py render_pyramid)
+        # scan otherwise (see plans/pipeline.py render_pyramid); released
+        # in the finally once _commit has materialized the snapshot, so
+        # long incremental runs don't accumulate cached batches
         points = parse_documents(documents).persist()
-        events = build_events(points, cfg)
-        store = self.current()
-        if store is None:
-            updated = rasterize(events, cfg)
-        else:
-            updated = rasterize(
-                events, cfg,
-                store=store.select("z", "tx", "ty", "point_cnt", "png"))
-        entry = self._commit(batch_key, updated)
+        try:
+            events = build_events(points, cfg)
+            store = self.current()
+            if store is None:
+                updated = rasterize(events, cfg)
+            else:
+                updated = rasterize(
+                    events, cfg,
+                    store=store.select("z", "tx", "ty", "point_cnt", "png"))
+            entry = self._commit(batch_key, updated)
+        finally:
+            points.unpersist()
         if len(self._live()) > self.compact_every:
             self.compact()
         return entry

@@ -237,6 +237,9 @@ def _eff(lo: dict, hi: dict, key: str) -> float:
 
 
 def main():
+    # benches opt in to tmpfs shuffle spill (session.py keeps disk spill
+    # as the library default); inherited by the pinned subprocesses
+    os.environ.setdefault("SPARK_GRAFT_TMPFS", "1")
     if len(sys.argv) > 1 and sys.argv[1] == "--single":
         master = sys.argv[4] if len(sys.argv) > 4 and sys.argv[4] else None
         print(json.dumps(run_once(int(sys.argv[2]), int(sys.argv[3]), master)))
