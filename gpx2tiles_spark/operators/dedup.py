@@ -160,13 +160,29 @@ def simhash_hamming_pairs(sims: DataFrame, max_hamming: int = 4) -> DataFrame:
             .select("doc_a", "doc_b", "hamming"))
 
 
-def ngram_jaccard_pairs(shingles: DataFrame, max_id) -> DataFrame:
+def ngram_jaccard_pairs(shingles: DataFrame, max_id,
+                        max_df: int | None = 10_000) -> DataFrame:
     """Exact pairwise Jaccard over shingle sets for doc_id <= max_id —
     relational form (explode + self-join + count) so the SQL oracle is a
-    transliteration.  jaccard scaled to micro-units for stable hashing."""
+    transliteration.  jaccard scaled to micro-units for stable hashing.
+
+    ``max_df`` is the hot-shingle guard (the self-join twin of LSH's
+    ``max_bucket``): a shingle shared by d documents emits O(d²) join
+    rows, so one boilerplate trigram at 10^12 docs is quadratic death.
+    Shingles with document frequency above the cap are dropped from the
+    JOIN (a stopword-shingle filter) — pairs whose overlap rides on such
+    shingles are near-boilerplate and belong to the exact/LSH tiers;
+    set sizes stay uncapped so surviving pairs keep true denominators.
+    The df window shares the join's `shingle` shuffle key, so AQE folds
+    the count into the join's own exchange."""
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = shingles.filter(F.col("doc_id") <= max_id).alias("a")
-    b = shingles.filter(F.col("doc_id") <= max_id).alias("b")
+    pop = shingles.filter(F.col("doc_id") <= max_id)
+    if max_df is not None:
+        w = Window.partitionBy("shingle")
+        pop = (pop.withColumn("_df", F.count("*").over(w))
+               .filter(F.col("_df") <= max_df).drop("_df"))
+    a = pop.alias("a")
+    b = pop.alias("b")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))

@@ -209,16 +209,70 @@ def _sort_events(pdf: pd.DataFrame) -> pd.DataFrame:
                            kind="stable")
 
 
+def _canvas_read_z(cfg: EngineConfig) -> int:
+    """First zoom at which a draw op can READ canvas state (PDOP alpha
+    blends at z >= 17 in speed mode; the sequential heatmap zone —
+    bigdots / circles / PDOP — in heatmap mode).  Below it every draw is
+    an opaque write, so partial canvases compose by overlay."""
+    from ..config import PDOP_MIN_Z
+    if cfg.heatmap:
+        return min(cfg.z_heatmap_bigdots, cfg.z_no_wpts + 1, PDOP_MIN_Z)
+    return PDOP_MIN_Z
+
+
 def rasterize(events: DataFrame, cfg: EngineConfig,
               store: DataFrame | None = None) -> DataFrame:
     """events (+ optional existing tile store (z,tx,ty,png)) → tiles.
 
-    Heatmap fresh renders split by zoom: below
-    min(z_heatmap_bigdots, z_no_wpts+1, PDOP_MIN_Z) a heatmap tile is
-    single-pixel stamps ONLY, where the intensify chain is a pure function
-    of the per-pixel hit count — rendered relationally (hash aggregate,
-    skew-free) instead of a sequential fold.  That zone is exactly where
-    urban-corridor skew lives (low zoom = few huge tiles)."""
+    Both fresh and incremental renders split at :func:`_canvas_read_z`:
+
+    - below it (where urban-corridor skew lives — low zoom = few huge
+      tiles) draws never read the canvas, so the render is the skew-safe
+      partition-sliced fold (salted two-phase for hot tiles when
+      ``cfg.salt_buckets > 0``) in speed mode, or the relational
+      per-pixel hit-count aggregate in heatmap mode; with a store, the
+      batch result then overlay-merges onto the base tile (one join row
+      per touched tile — byte-exact because every op is an opaque
+      write, and no single task ever folds a whole hot tile);
+    - at or above it (tiles are geometrically small) the sequential
+      canvas-reading fold runs per tile, over the store base when given.
+    """
+    if store is None:
+        if cfg.heatmap:
+            pure_z = _canvas_read_z(cfg)
+            low = events.filter(F.col("z") < F.lit(pure_z))
+            high = events.filter(F.col("z") >= F.lit(pure_z))
+            return _rasterize_heatmap_counts(low, cfg).unionByName(
+                _rasterize_partitions(high, cfg))
+        if cfg.salt_buckets > 0:
+            return rasterize_salted(events, cfg)
+        return _rasterize_partitions(events, cfg)
+
+    split = _canvas_read_z(cfg)
+    zcol = F.col("z")
+    high = _rasterize_cogroup(events.filter(zcol >= F.lit(split)), cfg,
+                              store.filter(zcol >= F.lit(split)))
+    low_ev = events.filter(zcol < F.lit(split))
+    low_store = store.filter(zcol < F.lit(split))
+    if cfg.heatmap:
+        low = _heatmap_counts_incremental(low_ev, cfg, low_store)
+    else:
+        if cfg.salt_buckets > 0:
+            fresh = rasterize_salted(low_ev, cfg)
+        else:
+            fresh = _rasterize_partitions(low_ev, cfg)
+        low = _overlay_on_store(fresh, low_store)
+    return low.unionByName(high)
+
+
+def _rasterize_cogroup(events: DataFrame, cfg: EngineConfig,
+                       store: DataFrame) -> DataFrame:
+    """Per-tile sequential fold over the store base (the only correct
+    shape once draws read canvas state).  Used for z >= _canvas_read_z,
+    where a tile covers a tiny geographic cell — per-tile event counts
+    are geometry-bounded, so the one-task-per-tile group is safe there.
+    (Kept callable on any zoom range as the reference implementation the
+    skew-safe paths are byte-compared against in tests.)"""
 
     def fold_cogroup(ev: pd.DataFrame, old: pd.DataFrame) -> pd.DataFrame:
         if not len(ev):
@@ -235,19 +289,121 @@ def rasterize(events: DataFrame, cfg: EngineConfig,
             "png": encode_png(canvas),
         }])
 
-    if store is None:
-        if cfg.heatmap:
-            from ..config import PDOP_MIN_Z
-            pure_z = min(cfg.z_heatmap_bigdots, cfg.z_no_wpts + 1, PDOP_MIN_Z)
-            low = events.filter(F.col("z") < F.lit(pure_z))
-            high = events.filter(F.col("z") >= F.lit(pure_z))
-            return _rasterize_heatmap_counts(low, cfg).unionByName(
-                _rasterize_partitions(high, cfg))
-        return _rasterize_partitions(events, cfg)
     return (
         events.groupBy("z", "tx", "ty")
         .cogroup(store.groupBy("z", "tx", "ty"))
         .applyInPandas(lambda ev, old: fold_cogroup(ev, old), TILES_SCHEMA)
+    )
+
+
+def _overlay_on_store(fresh: DataFrame, store: DataFrame) -> DataFrame:
+    """Overlay freshly-rendered batch tiles onto their store base: one
+    equi-join row per TOUCHED tile (store-only tiles stay in the store's
+    older snapshots — delta semantics), then an Arrow-batched pixel
+    overlay.  Exact for opaque draws: base-then-draw == draw-then-
+    overlay-where-painted.  point_cnt accumulates; n_events/n_docs stay
+    batch-local (matching the cogroup fold's delta bookkeeping)."""
+    bcols = [F.col("z"), F.col("tx"), F.col("ty"),
+             F.col("png").alias("base_png")]
+    has_pc = "point_cnt" in store.columns
+    if has_pc:
+        bcols.append(F.col("point_cnt").alias("base_point_cnt"))
+    joined = fresh.join(store.select(*bcols), ["z", "tx", "ty"], "left")
+
+    def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                pc = int(r.point_cnt)
+                if r.base_png is None:
+                    png = bytes(r.png)
+                else:
+                    canvas = decode_png(bytes(r.base_png))
+                    overlay = decode_png(bytes(r.png))
+                    mask = overlay[..., 3] != 0
+                    canvas[mask] = overlay[mask]
+                    png = encode_png(canvas)
+                    if has_pc and r.base_point_cnt is not None:
+                        pc += int(r.base_point_cnt)
+                out.append({
+                    "z": int(r.z), "tx": int(r.tx), "ty": int(r.ty),
+                    "point_cnt": pc, "n_events": int(r.n_events),
+                    "n_docs": int(r.n_docs), "png": png,
+                })
+            yield pd.DataFrame(
+                out, columns=[f.name for f in TILES_SCHEMA.fields])
+
+    return joined.mapInPandas(merge, TILES_SCHEMA)
+
+
+def _heatmap_counts_incremental(events: DataFrame, cfg: EngineConfig,
+                                store: DataFrame) -> DataFrame:
+    """Incremental heatmap for the pure-stamp zone: aggregate new events
+    to per-pixel hit counts FIRST (map-side combinable — the skew dies in
+    the aggregate), then continue each pixel's intensify chain from the
+    BASE tile's color.  chain[i] is strictly brighter until its fixed
+    point, so a base pixel's chain position is recoverable and
+    chain[min(pos + new_hits, sat)] == folding the new stamps
+    sequentially over the base — byte-exact, while per-tile work is
+    bounded by 65536 aggregated pixels however many events hit the tile."""
+    counts = events.groupBy("z", "tx", "ty", "x1", "y1").agg(
+        F.count("*").alias("hits"))
+    docs = events.groupBy("z", "tx", "ty").agg(
+        F.countDistinct("doc_id").alias("n_docs"))
+    part = counts.join(docs, ["z", "tx", "ty"])
+    has_pc = "point_cnt" in store.columns
+    scols = ["z", "tx", "ty", "png"] + (["point_cnt"] if has_pc else [])
+
+    def heat_merge(cnt: pd.DataFrame, old: pd.DataFrame) -> pd.DataFrame:
+        if not len(cnt):
+            return pd.DataFrame(columns=[f.name for f in TILES_SCHEMA.fields])
+        chain = _heat_chain()
+        sat = len(chain) - 1
+        base_pc = 0
+        if len(old):
+            canvas = decode_png(bytes(old["png"].iloc[0]))
+            if has_pc and old["point_cnt"].iloc[0] is not None:
+                base_pc = int(old["point_cnt"].iloc[0])
+        else:
+            canvas = blank_tile()
+        h, w = canvas.shape[:2]
+        xs = cnt["x1"].to_numpy()
+        ys = cnt["y1"].to_numpy()
+        hits = cnt["hits"].to_numpy().astype(np.int64)
+        m = (xs >= 0) & (xs < w) & (ys >= 0) & (ys < h)
+        xs, ys, mh = xs[m], ys[m], hits[m]
+        prior = canvas[ys, xs]
+        packed = ((prior[:, 0].astype(np.int64) << 16)
+                  | (prior[:, 1].astype(np.int64) << 8)
+                  | prior[:, 2].astype(np.int64))
+        order = np.argsort(chain, kind="stable")
+        pos = np.searchsorted(chain[order], packed)
+        pos = np.clip(pos, 0, sat)
+        known = chain[order][pos] == packed
+        idx = np.where(prior[:, 3] == 0, np.int64(-1), order[pos])
+        new_idx = np.minimum(idx + mh, sat)
+        colors = chain[new_idx]
+        # alpha != 0 pixels whose color is outside the chain (store tile
+        # from a different mode): step intensify from the stored color
+        odd = np.flatnonzero((prior[:, 3] != 0) & ~known)
+        for i in odd:
+            c = int(packed[i])
+            for _ in range(int(mh[i])):
+                c = int(intensify(np.array([c]))[0])
+            colors[i] = c
+        draw.stamp_pixels(canvas, xs, ys, colors)
+        total = int(hits.sum())
+        return pd.DataFrame([{
+            "z": int(cnt["z"].iloc[0]), "tx": int(cnt["tx"].iloc[0]),
+            "ty": int(cnt["ty"].iloc[0]), "point_cnt": base_pc + total,
+            "n_events": total, "n_docs": int(cnt["n_docs"].iloc[0]),
+            "png": encode_png(canvas),
+        }])
+
+    return (
+        part.groupBy("z", "tx", "ty")
+        .cogroup(store.select(*scols).groupBy("z", "tx", "ty"))
+        .applyInPandas(lambda c, o: heat_merge(c, o), TILES_SCHEMA)
     )
 
 

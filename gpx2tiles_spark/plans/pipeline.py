@@ -51,11 +51,10 @@ def render_pyramid(documents: DataFrame, cfg: EngineConfig | None = None,
     # materialization point at any scale.
     points = parse_documents(documents).persist()
     events = build_events(points, cfg)
-    if cfg.salt_buckets > 0 and not cfg.heatmap and store is None:
-        from ..operators.raster import rasterize_salted
-        tiles = rasterize_salted(events, cfg)
-    else:
-        tiles = rasterize(events, cfg, store=store)
+    # rasterize() self-routes: salted two-phase for hot tiles (fresh OR
+    # incremental low zones), relational heatmap counts, per-tile
+    # cogroup only at canvas-reading zooms
+    tiles = rasterize(events, cfg, store=store)
     if out_dir is not None:
         tiles.persist()
         write_tile_pyramid(tiles, out_dir)  # materializes tiles …

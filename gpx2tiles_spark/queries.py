@@ -478,10 +478,15 @@ def q_simhash(spark, sf_dir):
 @register("ngram_jaccard", f"""
   WITH shingles AS ({_SHINGLES_SQL}),
   sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+  pop AS (
+    SELECT doc_id, shingle FROM (
+      SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
+      FROM shingles WHERE doc_id <= 40)
+    WHERE df <= 10000),
   inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-    FROM shingles a JOIN shingles b USING (shingle)
-    WHERE a.doc_id < b.doc_id AND a.doc_id <= 40 AND b.doc_id <= 40
+    FROM pop a JOIN pop b USING (shingle)
+    WHERE a.doc_id < b.doc_id
     GROUP BY 1, 2)
   SELECT doc_a, doc_b, n_common,
          CAST(FLOOR(n_common * 1000000.0 / (sa.sz + sb.sz - n_common)) AS BIGINT)
@@ -1382,6 +1387,77 @@ def q_streaming_sessionize(spark, sf_dir):
            .agg(F.max("n_sessions").alias("n_sessions"),
                 F.max("n_events").alias("n_events"))
            .persist())
+    out.count()
+    return out
+
+
+def _stage_event_stream(spark, ev, n_parts: int = 2) -> str:
+    """Write the events table as n event-time-ordered parquet files in a
+    temp dir (distinct mtimes → deterministic in-order file pickup for
+    maxFilesPerTrigger=1 streams)."""
+    import glob
+    import shutil
+    import tempfile
+    import time as _time
+
+    es = F.col("ts").cast("timestamp").cast("double")
+    qs = [ev.select(F.percentile(es, F.lit(i / n_parts)).alias("m"))
+          .collect()[0][0] for i in range(1, n_parts)]
+    cuts = [None, *qs, None]
+    tmp = tempfile.mkdtemp(prefix="stream_evt_")
+    src_dir = os.path.join(tmp, "in")
+    os.makedirs(src_dir)
+    for i in range(n_parts):
+        part = ev
+        if cuts[i] is not None:
+            part = part.filter(es >= cuts[i])
+        if cuts[i + 1] is not None:
+            part = part.filter(es < cuts[i + 1])
+        stage = os.path.join(tmp, f"stage{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        src = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(src, os.path.join(src_dir, f"{i:04d}.parquet"))
+        _time.sleep(1.1)
+    return tmp
+
+
+@register("streaming_windowed_counts", f"""
+  WITH pts AS (
+    SELECT event_id AS pid, ts,
+           {geo.LON_EXPR} AS lon, {geo.LAT_EXPR} AS lat
+    FROM events)
+  SELECT CAST(FLOOR(epoch(ts) / 600) * 600 AS BIGINT) AS win_start_s,
+         {tx_sql('lon', '12')} AS tx, {ty_sql('lat', '12')} AS ty,
+         COUNT(*) AS point_cnt
+  FROM pts GROUP BY 1, 2, 3
+""")
+def q_streaming_windowed_counts(spark, sf_dir):
+    """Streaming A1 (watermarked tumbling-window per-tile counts,
+    streaming/live.windowed_tile_counts) oracle-checked against the
+    batch window SQL: the events table replays as a 2-file event-time-
+    ordered stream and the converged per-(window, tile) counts must
+    equal the batch GROUP BY exactly.  (Late-data watermark semantics —
+    in-watermark rows landing, beyond-watermark rows dropped — are
+    pytest-covered in append mode: test_round3_ops.)"""
+    from .streaming.live import windowed_tile_counts
+
+    ev = _t(spark, sf_dir, "events")
+    tmp = _stage_event_stream(spark, ev, 2)
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(os.path.join(tmp, "in")))
+    pts = geo.derived_points(stream).select(
+        F.col("ts").cast("timestamp").alias("ts"), "lat", "lon")
+    name = f"wincnt_{abs(hash(sf_dir)) % 99999}"
+    q = (windowed_tile_counts(pts, z=12, window="10 minutes",
+                              watermark="30 minutes")
+         .writeStream.format("memory").queryName(name)
+         .outputMode("complete")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    out = (spark.table(name).select(
+        F.col("window_start").cast("timestamp").cast("double").cast("long")
+        .alias("win_start_s"), "tx", "ty", "point_cnt").persist())
     out.count()
     return out
 
