@@ -26,6 +26,11 @@ PDOP_MIN_Z = 17
 PDOP_THRESHOLD = 1.8
 PDOP_ALPHA = 20
 
+# -d diagnostic overlay colors (gpx2tiles.c:47-51)
+SHADOW_COLOR = 0xC0C0C0     # SHADOW: fresh-tile edge lines + point shadows
+SPEED_TEXT_COLOR = 0xC0C0C0  # SPEED_CLR: per-tile speed text + pointer
+HIGHLIGHT_COLOR = 0xFF00EF  # HIGHLIGHT: magenta cross-tile line segments
+
 
 @dataclass(frozen=True)
 class EngineConfig:
@@ -47,6 +52,12 @@ class EngineConfig:
     # a 1px Bresenham line (gd clamps), we model 0 -> 1px. (-t, gpx2tiles.c:60)
     thickness: dict[int, int] = field(default_factory=dict)
     incremental: bool = True  # default; -I disables (truncate first)
+    # -d diagnostic overlays (bitmask parse at gpx2tiles.c:989-997);
+    # diag_shadows makes every point an alpha-blended ellipse (reads
+    # canvas state at every zoom), so it forces the sequential fold paths
+    diag_shadows: bool = False          # -d 1: tile-edge + point shadows
+    diag_highlight_cross: bool = False  # -d 2: magenta cross-tile lines
+    diag_speed_text: bool = False       # -d 4: first-point speed text per tile
     # physical knobs (no reference analog — Spark-side)
     shuffle_partitions: int = 32
     salt_buckets: int = 0  # 0 = no salting; >0 = range-salt hot tiles

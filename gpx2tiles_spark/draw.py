@@ -474,3 +474,85 @@ def stamp_pixels(canvas: np.ndarray, xs: np.ndarray, ys: np.ndarray,
     canvas[ys, xs, 1] = (colors >> 8) & 0xFF
     canvas[ys, xs, 2] = colors & 0xFF
     canvas[ys, xs, 3] = 255
+
+
+# ---------------------------------------------------------------------------
+# 6x13 text (diag_draw_tile_speed, gpx2tiles.c:481-495)
+# ---------------------------------------------------------------------------
+
+FONT_W, FONT_H = 6, 13  # gdFontSmall cell (gd gdfonts.c, a 6x13 raster)
+
+# Glyphs for the characters a "%.1f" speed string can contain, transcribed
+# from the public X11 misc-fixed 6x13 font — the ancestor of gd's
+# gdFontSmall.  Each entry is 13 rows of 6 bits, MSB = leftmost column.
+# The *geometry* consumed by the engine (6*len(s) string width, row-14
+# underline, pointer line to the point pixel) is exact per the reference;
+# the glyph bitmaps are a faithful transcription but cannot be
+# bit-compared against libgd inside this container (no gd available) —
+# documented divergence risk is limited to in-glyph pixels.
+_FONT_6x13 = {
+    "0": [0x00, 0x00, 0x20, 0x50, 0x88, 0x88, 0x88, 0x88, 0x88, 0x50, 0x20, 0x00, 0x00],
+    "1": [0x00, 0x00, 0x20, 0x60, 0xA0, 0x20, 0x20, 0x20, 0x20, 0x20, 0xF8, 0x00, 0x00],
+    "2": [0x00, 0x00, 0x70, 0x88, 0x88, 0x08, 0x10, 0x20, 0x40, 0x80, 0xF8, 0x00, 0x00],
+    "3": [0x00, 0x00, 0xF8, 0x08, 0x10, 0x20, 0x10, 0x08, 0x08, 0x88, 0x70, 0x00, 0x00],
+    "4": [0x00, 0x00, 0x10, 0x30, 0x50, 0x90, 0x90, 0xF8, 0x10, 0x10, 0x10, 0x00, 0x00],
+    "5": [0x00, 0x00, 0xF8, 0x80, 0x80, 0xB0, 0xC8, 0x08, 0x08, 0x88, 0x70, 0x00, 0x00],
+    "6": [0x00, 0x00, 0x30, 0x40, 0x80, 0x80, 0xB0, 0xC8, 0x88, 0x88, 0x70, 0x00, 0x00],
+    "7": [0x00, 0x00, 0xF8, 0x08, 0x10, 0x10, 0x20, 0x20, 0x40, 0x40, 0x40, 0x00, 0x00],
+    "8": [0x00, 0x00, 0x70, 0x88, 0x88, 0x88, 0x70, 0x88, 0x88, 0x88, 0x70, 0x00, 0x00],
+    "9": [0x00, 0x00, 0x70, 0x88, 0x88, 0x98, 0x68, 0x08, 0x08, 0x10, 0x60, 0x00, 0x00],
+    ".": [0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x40, 0xE0, 0x40, 0x00],
+}
+
+_GLYPH_CACHE: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _glyph_points(ch: str) -> tuple[np.ndarray, np.ndarray]:
+    if ch not in _GLYPH_CACHE:
+        rows = _FONT_6x13.get(ch)
+        if rows is None:
+            _GLYPH_CACHE[ch] = (np.empty(0, np.int64), np.empty(0, np.int64))
+        else:
+            xs, ys = [], []
+            for r, bits in enumerate(rows):
+                for c in range(FONT_W):
+                    if (bits >> (7 - c)) & 1:
+                        xs.append(c)
+                        ys.append(r)
+            _GLYPH_CACHE[ch] = (np.asarray(xs, np.int64), np.asarray(ys, np.int64))
+    return _GLYPH_CACHE[ch]
+
+
+def text_points(s: str, x0: int = 0, y0: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Pixel list of gdImageString(gdFontSmall, x0, y0, s) in draw order
+    (chars left to right, glyph rows top to bottom)."""
+    xs_all, ys_all = [], []
+    for i, ch in enumerate(s):
+        gx, gy = _glyph_points(ch)
+        xs_all.append(gx + x0 + i * FONT_W)
+        ys_all.append(gy + y0)
+    if not xs_all:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(xs_all), np.concatenate(ys_all)
+
+
+def speed_text_points(digits: int, px: int, py: int, thick: int,
+                      w: int = TILE_W, h: int = TILE_H
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """The full diag_draw_tile_speed pixel sequence (gpx2tiles.c:481-495):
+    the "%.1f" speed string at (0,0), the underline at y = FONT_H + 1,
+    and the pointer line from the underline's end to the point pixel —
+    both lines via the exact gd Bresenham at the tile's line thickness.
+    ``digits`` is the decimal string with its dot removed (x2 encoding:
+    '12.3' → 123), reconstructed as str(d // 10) + '.' + str(d % 10)."""
+    s = f"{digits // 10}.{digits % 10}"
+    txs, tys = text_points(s)
+    xx = FONT_W * len(s)
+    yy = FONT_H + 1
+    l1x, l1y, _ = lines_points_batch(
+        np.asarray([0]), np.asarray([yy]), np.asarray([xx]), np.asarray([yy]),
+        thick, w, h)
+    l2x, l2y, _ = lines_points_batch(
+        np.asarray([xx]), np.asarray([yy]), np.asarray([px]), np.asarray([py]),
+        thick, w, h)
+    return (np.concatenate([txs, l1x, l2x]), np.concatenate([tys, l1y, l2y]))

@@ -29,18 +29,21 @@ from pyspark.sql import functions as F
 
 from .. import projection as P
 from ..colors import speed_clridx_col
-from ..config import (PDOP_MIN_Z, PDOP_THRESHOLD, SPDCLR, SPEED_FIXED_COLOR,
-                      SPEED_FROM_DATA, TILE_H, TILE_W, EngineConfig,
+from ..config import (HIGHLIGHT_COLOR, PDOP_MIN_Z, PDOP_THRESHOLD, SHADOW_COLOR,
+                      SPDCLR, SPEED_FIXED_COLOR, SPEED_FROM_DATA,
+                      SPEED_TEXT_COLOR, TILE_H, TILE_W, EngineConfig,
                       POINT_CIRCLE_COLOR)
 from .tiles import with_pixel, with_tile, with_tile_pixel, with_zooms
 
 # etype doubles as the intra-point draw priority: the reference draws
-# stamp → waypoint circle → PDOP diagnostic ellipse → line(s) per point
-# (gpx2tiles.c:654, 658-659, 660 diag_draw_point, 663-671)
+# stamp → waypoint circle → PDOP/shadow diagnostic ellipse → per-tile
+# speed text (first point only) → line(s) per point
+# (gpx2tiles.c:654, 658-659, 660 diag_draw_point, 661-662, 663-671)
 ET_STAMP = 0
 ET_CIRCLE = 1
-ET_PDOP = 2
-ET_LINE = 3
+ET_PDOP = 2   # also -d1 shadow ellipses (same diag_draw_point slot)
+ET_TEXT = 3   # -d4 speed text (diag_draw_tile_speed)
+ET_LINE = 4
 
 EVENT_COLS = ["z", "tx", "ty", "doc_id", "seg_order", "pt_idx", "etype",
               "x1", "y1", "x2", "y2", "color"]
@@ -176,12 +179,16 @@ def build_events(points: DataFrame, cfg: EngineConfig) -> DataFrame:
         .filter(crossing_tile_col(F.col("lx1"), F.col("ly1"),
                                   F.col("lx2"), F.col("ly2")))
     )
+    # -d2: cross-tile segments draw in magenta instead of the point color
+    # (gpx2tiles.c:694-695 highlight_tile_cross ? HIGHLIGHT : color)
+    cl_color = (F.lit(HIGHLIGHT_COLOR).alias("color")
+                if cfg.diag_highlight_cross else color)
     cross_lines = cross.select(
         F.col("z"), F.col("cx").alias("tx"), F.col("cy").alias("ty"),
         F.col("doc_id"), F.col("seg_order"), F.col("pt_idx"),
         F.lit(ET_LINE).alias("etype"),
         F.col("lx1").alias("x1"), F.col("ly1").alias("y1"),
-        F.col("lx2").alias("x2"), F.col("ly2").alias("y2"), color,
+        F.col("lx2").alias("x2"), F.col("ly2").alias("y2"), cl_color,
     )
 
     if cfg.heatmap:
@@ -204,30 +211,78 @@ def build_events(points: DataFrame, cfg: EngineConfig) -> DataFrame:
         F.col("px").alias("x1"), F.col("py").alias("y1"),
         F.lit(0).alias("x2"), F.lit(0).alias("y2"), wpt_color,
     )
-    return out.unionByName(wpt_stamps.select(*out.columns)) \
-              .unionByName(_wpt_circles(wz, cfg).select(*out.columns)) \
-              .unionByName(_pdop_events(wz, cfg, wpt_color).select(*out.columns))
+    out = out.unionByName(wpt_stamps.select(*out.columns)) \
+             .unionByName(_wpt_circles(wz, cfg).select(*out.columns)) \
+             .unionByName(_pdop_events(wz, cfg, wpt_color).select(*out.columns))
+    if cfg.diag_speed_text:
+        out = out.unionByName(
+            _speed_text_events(with_pixel(trk), wz, cfg).select(*out.columns))
+    return out
 
 
 def _pdop_events(pts: DataFrame, cfg: EngineConfig, color) -> DataFrame:
     """F8: PDOP uncertainty ellipse events — diag_draw_point
-    (gpx2tiles.c:497-505): at z >= 17, points with the PDOP flag (bit 64)
+    (gpx2tiles.c:497-511): at z >= 17, points with the PDOP flag (bit 64)
     and pdop > 1.8 get a d×d outline ellipse (d = floor(pdop*3)) drawn
     with gd alpha 20 over the point pixel.  x2 carries the diameter; the
     heatmap sentinel color -1 resolves to the running heat color in the
-    fold (the reference passes the just-computed stamp color)."""
-    sel = pts.filter(
+    fold (the reference passes the just-computed stamp color).
+
+    -d1 (diag_shadows): the ELSE branch of the same diag slot draws a
+    5×5 SHADOW outline with alpha 20 on every point NOT matching the
+    PDOP condition (gpx2tiles.c:508-510) — at every zoom.  Shadow events
+    carry the explicit SHADOW color (gd passes SHADOW, not `color`)."""
+    pdop_cond = (
         (F.col("z") >= F.lit(PDOP_MIN_Z))
         & (F.col("flags").bitwiseAND(F.lit(64)) != 0)
         & (F.col("pdop") > F.lit(PDOP_THRESHOLD))
     )
-    return sel.select(
-        F.col("z"), F.col("tx"), F.col("ty"), F.col("doc_id"),
-        F.col("seg_order"), F.col("pt_idx"),
-        F.lit(ET_PDOP).alias("etype"),
-        F.col("px").alias("x1"), F.col("py").alias("y1"),
+    key = [F.col("z"), F.col("tx"), F.col("ty"), F.col("doc_id"),
+           F.col("seg_order"), F.col("pt_idx"), F.lit(ET_PDOP).alias("etype"),
+           F.col("px").alias("x1"), F.col("py").alias("y1")]
+    out = pts.filter(pdop_cond).select(
+        *key,
         F.floor(F.col("pdop") * F.lit(3.0)).cast("int").alias("x2"),
         F.lit(0).alias("y2"), color,
+    )
+    if cfg.diag_shadows:
+        shadows = pts.filter(~pdop_cond).select(
+            *key, F.lit(5).alias("x2"), F.lit(0).alias("y2"),
+            F.lit(SHADOW_COLOR).alias("color"),
+        )
+        out = out.unionByName(shadows)
+    return out
+
+
+def _speed_text_events(trk_pix: DataFrame, wpt_pix: DataFrame,
+                       cfg: EngineConfig) -> DataFrame:
+    """-d4: diag_draw_tile_speed (gpx2tiles.c:481-495) — the FIRST point
+    (in file → segment → point draw order) whose stamp lands in a tile
+    writes that point's speed as text at the tile origin, plus an
+    underline and a pointer line to the point pixel (tile->has_speed
+    latches per tile).  One map-side-combinable min-aggregate per tile —
+    no window shuffle, skew-safe.  x2 encodes the "%.1f" kph string with
+    the dot removed ('12.3' → 123); Java's and C's %.1f both round the
+    binary double to nearest decimal (ties differ only on exact halves,
+    which the speed chain does not produce)."""
+    cols = ["z", "tx", "ty", "doc_id", "seg_order", "pt_idx", "px", "py",
+            "speed"]
+    u = trk_pix.select(*cols).unionByName(wpt_pix.select(*cols))
+    first = u.groupBy("z", "tx", "ty").agg(
+        F.min(F.struct(*[F.col(c) for c in
+                         ("doc_id", "seg_order", "pt_idx", "px", "py",
+                          "speed")])).alias("f"))
+    digits = F.regexp_replace(
+        F.format_string("%.1f", F.col("f.speed") * F.lit(3.6)),
+        "\\.", "").cast("int")
+    return first.select(
+        "z", "tx", "ty", F.col("f.doc_id").alias("doc_id"),
+        F.col("f.seg_order").alias("seg_order"),
+        F.col("f.pt_idx").alias("pt_idx"),
+        F.lit(ET_TEXT).alias("etype"),
+        F.col("f.px").alias("x1"), F.col("f.py").alias("y1"),
+        digits.alias("x2"), F.lit(0).alias("y2"),
+        F.lit(SPEED_TEXT_COLOR).alias("color"),
     )
 
 

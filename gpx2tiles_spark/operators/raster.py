@@ -29,7 +29,7 @@ from .. import draw
 from ..colors import intensify
 from ..config import HEATMAP_BASE_COLOR, PDOP_ALPHA, EngineConfig
 from ..pngcodec import blank_tile, decode_png, encode_png
-from .events import ET_CIRCLE, ET_LINE, ET_PDOP, ET_STAMP
+from .events import ET_CIRCLE, ET_LINE, ET_PDOP, ET_STAMP, ET_TEXT
 
 TILES_SCHEMA = T.StructType([
     T.StructField("z", T.IntegerType(), False),
@@ -40,6 +40,21 @@ TILES_SCHEMA = T.StructType([
     T.StructField("n_docs", T.LongType(), False),
     T.StructField("png", T.BinaryType(), False),
 ])
+
+
+def _base_canvas(cfg: EngineConfig) -> np.ndarray:
+    """Canvas for a tile with no store base.  With -d1 (diag_shadows) a
+    freshly CREATED tile gets the two SHADOW edge lines before any
+    drawing (open_tile, gpx2tiles.c:301-304) — drawn at gd's default
+    thickness 1 (gdImageSetThickness runs after them, c:308)."""
+    canvas = blank_tile()
+    if cfg.diag_shadows:
+        from ..config import SHADOW_COLOR, TILE_H, TILE_W
+        draw.draw_line(canvas, 0, TILE_H - 1, TILE_W - 1, TILE_H - 1,
+                       SHADOW_COLOR)
+        draw.draw_line(canvas, TILE_W - 1, 0, TILE_W - 1, TILE_H - 1,
+                       SHADOW_COLOR)
+    return canvas
 
 
 def _fold_tile(pdf: pd.DataFrame, cfg: EngineConfig,
@@ -86,6 +101,16 @@ def _fold_opaque(canvas: np.ndarray, et, x1, y1, x2, y2, color,
                          np.full(len(cxs), color[i], np.int64),
                          np.full(len(cxs), i, np.int64)))
 
+    text_m = et == ET_TEXT
+    if text_m.any():
+        # -d4 speed text: ≤1 per tile (string + underline + pointer)
+        for i in np.flatnonzero(text_m):
+            txs, tys = draw.speed_text_points(int(x2[i]), int(x1[i]),
+                                              int(y1[i]), thick)
+            segs.append((txs, tys,
+                         np.full(len(txs), color[i], np.int64),
+                         np.full(len(txs), i, np.int64)))
+
     if segs:
         xs = np.concatenate([s[0] for s in segs])
         ys = np.concatenate([s[1] for s in segs])
@@ -98,7 +123,7 @@ def _fold_opaque(canvas: np.ndarray, et, x1, y1, x2, y2, color,
 def _fold_arrays(cols: dict, s: int, e: int, cfg: EngineConfig,
                  base: np.ndarray | None) -> tuple[np.ndarray, int]:
     """Numpy-only event fold over cols[s:e] — no pandas in the loop."""
-    canvas = base if base is not None else blank_tile()
+    canvas = base if base is not None else _base_canvas(cfg)
     z = int(cols["z"][s])
     thick = max(1, cfg.thickness.get(z, 0))
     et = cols["etype"][s:e]
@@ -130,7 +155,8 @@ def _fold_arrays(cols: dict, s: int, e: int, cfg: EngineConfig,
         # z >= 17) — NEVER lines (z_no_lines == INT_MAX, gpx2tiles.c:976)
         big = z >= cfg.z_heatmap_bigdots
         h, w = canvas.shape[:2]
-        if not big and base is None and (et == ET_STAMP).all():
+        if (not big and base is None and not cfg.diag_shadows
+                and (et == ET_STAMP).all()):
             # pure single-pixel stamp tile: the sequential
             # read→intensify→write chain per pixel is a function of the
             # hit count alone — count hits and colorize once (the
@@ -159,10 +185,19 @@ def _fold_arrays(cols: dict, s: int, e: int, cfg: EngineConfig,
                     else:
                         draw.set_pixel(canvas, xx, yy, cur_color)
                 elif et[i] == ET_PDOP:
-                    # diag ellipse with the running heat color (c:660)
+                    # PDOP uses the running heat color (sentinel -1,
+                    # c:660); -d1 shadow events carry SHADOW explicitly
+                    c = int(color[i])
                     draw.blend_ellipse_outline(canvas, int(x1[i]), int(y1[i]),
-                                               int(x2[i]), cur_color,
+                                               int(x2[i]),
+                                               c if c >= 0 else cur_color,
                                                PDOP_ALPHA)
+                elif et[i] == ET_TEXT:
+                    # -d4 speed text draws opaquely in heatmap mode too
+                    txs, tys = draw.speed_text_points(int(x2[i]), int(x1[i]),
+                                                      int(y1[i]), thick)
+                    draw.stamp_pixels(canvas, txs, tys,
+                                      np.full(len(txs), color[i], np.int64))
                 else:  # ET_CIRCLE
                     draw.fill_ellipse(canvas, int(x1[i]), int(y1[i]),
                                       int(x2[i]), int(x2[i]), int(color[i]))
@@ -237,7 +272,14 @@ def rasterize(events: DataFrame, cfg: EngineConfig,
     - at or above it (tiles are geometrically small) the sequential
       canvas-reading fold runs per tile, over the store base when given.
     """
+    # -d1 shadows alpha-blend an ellipse on EVERY point (reads canvas at
+    # every zoom) and -d4 text breaks the heatmap pure-stamp premise —
+    # diagnostics force the sequential fold paths (the reference itself
+    # is single-threaded; diagnostics are not the 100 TB path)
+    diag_sequential = cfg.diag_shadows or (cfg.heatmap and cfg.diag_speed_text)
     if store is None:
+        if diag_sequential:
+            return _rasterize_partitions(events, cfg)
         if cfg.heatmap:
             pure_z = _canvas_read_z(cfg)
             low = events.filter(F.col("z") < F.lit(pure_z))
@@ -248,6 +290,8 @@ def rasterize(events: DataFrame, cfg: EngineConfig,
             return rasterize_salted(events, cfg)
         return _rasterize_partitions(events, cfg)
 
+    if diag_sequential:
+        return _rasterize_cogroup(events, cfg, store)
     split = _canvas_read_z(cfg)
     zcol = F.col("z")
     high = _rasterize_cogroup(events.filter(zcol >= F.lit(split)), cfg,
@@ -642,6 +686,8 @@ def rasterize_salted(events: DataFrame, cfg: EngineConfig) -> DataFrame:
     big-dot/circle zone sits at high zooms where tiles are small.
     """
     assert not cfg.heatmap, "heatmap skew is handled by rasterize()'s count merge"
+    assert not cfg.diag_shadows, \
+        "-d1 shadow blends read canvas state; rasterize() routes them sequentially"
     buckets = max(2, cfg.salt_buckets)
 
     # hot tiles are by definition few — detect them FIRST on a 1% sample

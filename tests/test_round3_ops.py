@@ -42,6 +42,154 @@ def test_ngram_cap_inactive_below_threshold(spark):
 
 
 # ---------------------------------------------------------------------------
+# -d diagnostic overlays (gpx2tiles.c:989-997): shadows / magenta / text
+# ---------------------------------------------------------------------------
+
+def _one_doc(spark, xml, name="diag0"):
+    from gpx2tiles_spark.corpus import SPANS_SCHEMA
+    return spark.createDataFrame(
+        [(name, [{"kind": "gpx", "text": xml, "media_ref": None,
+                  "offset": 0}])], SPANS_SCHEMA)
+
+
+def test_diag_shadows_rendered(spark):
+    """-d1: fresh tiles get SHADOW edge lines; every non-PDOP point gets
+    a 5×5 alpha-20 SHADOW outline ellipse (gpx2tiles.c:301-304,508-510)."""
+    import numpy as np
+
+    from gpx2tiles_spark import draw
+    from gpx2tiles_spark.config import (PDOP_ALPHA, SHADOW_COLOR,
+                                        EngineConfig)
+    from gpx2tiles_spark.operators.events import ET_PDOP, build_events
+    from gpx2tiles_spark.operators.parse import parse_documents
+    from gpx2tiles_spark.operators.raster import rasterize
+    from gpx2tiles_spark.pngcodec import decode_png
+
+    cfg = EngineConfig(zoom_min=10, zoom_max=10, diag_shadows=True)
+    doc = _one_doc(spark, CROSS_XML)
+    ev = build_events(parse_documents(doc), cfg)
+    shadows = ev.filter(F.col("etype") == ET_PDOP).collect()
+    assert len(shadows) == 2 and all(r.x2 == 5 for r in shadows)
+    tiles = {(r.tx, r.ty): decode_png(bytes(r.png))
+             for r in rasterize(ev, cfg).collect()}
+    r0 = min(shadows, key=lambda r: r.x1)
+    img = tiles[(r0.tx, r0.ty)]
+    # shadow ellipse TOP extreme: off the horizontal track-line row; the
+    # 4-way symmetric midpoint plot blends it TWICE (x-degeneracy), so
+    # expect blend∘blend of SHADOW over untouched gd-black
+    once = int(draw.gd_alpha_blend(np.asarray(0), SHADOW_COLOR, PDOP_ALPHA))
+    expect = int(draw.gd_alpha_blend(np.asarray(once), SHADOW_COLOR,
+                                     PDOP_ALPHA))
+    got = img[r0.y1 - 2, r0.x1]
+    assert (int(got[0]), int(got[1]), int(got[2])) == (
+        (expect >> 16) & 0xFF, (expect >> 8) & 0xFF, expect & 0xFF)
+    # untouched bottom-edge pixel carries the opaque SHADOW line
+    edge = img[255, 10]
+    assert (int(edge[0]), int(edge[1]), int(edge[2]), int(edge[3])) == \
+        (0xC0, 0xC0, 0xC0, 255)
+
+
+def test_diag_highlight_cross_magenta(spark):
+    """-d2: cross-tile line segments draw in HIGHLIGHT 0xff00ef."""
+    from gpx2tiles_spark.config import HIGHLIGHT_COLOR, EngineConfig
+    from gpx2tiles_spark.operators.events import ET_LINE, build_events
+    from gpx2tiles_spark.operators.parse import parse_documents
+    from gpx2tiles_spark.operators.raster import rasterize
+    from gpx2tiles_spark.pngcodec import decode_png
+
+    cfg = EngineConfig(zoom_min=10, zoom_max=10, diag_highlight_cross=True)
+    ev = build_events(parse_documents(_one_doc(spark, CROSS_XML)), cfg)
+    lines = ev.filter(F.col("etype") == ET_LINE).collect()
+    assert lines and all(r.color == HIGHLIGHT_COLOR for r in lines)
+    # the crossed-only middle tile is pure magenta line pixels
+    tiles = {(r.tx, r.ty, r.point_cnt): bytes(r.png)
+             for r in rasterize(ev, cfg).collect()}
+    mid = next(k for k in tiles if k[2] == 0)
+    img = decode_png(tiles[mid])
+    ys, xs = (img[..., 3] != 0).nonzero()
+    assert len(xs) > 0
+    rgb = {(int(img[y, x, 0]), int(img[y, x, 1]), int(img[y, x, 2]))
+           for y, x in zip(ys, xs)}
+    assert rgb == {(0xFF, 0x00, 0xEF)}
+
+
+def test_diag_speed_text(spark):
+    """-d4: the first point per tile writes its %.1f kph speed at the
+    tile origin with the underline at y=14 and a pointer line to the
+    point (diag_draw_tile_speed geometry)."""
+    from gpx2tiles_spark.config import EngineConfig
+    from gpx2tiles_spark.operators.events import ET_TEXT, build_events
+    from gpx2tiles_spark.operators.parse import parse_documents
+    from gpx2tiles_spark.operators.raster import rasterize
+    from gpx2tiles_spark.pngcodec import decode_png
+
+    cfg = EngineConfig(zoom_min=10, zoom_max=10, diag_speed_text=True)
+    pts = parse_documents(_one_doc(spark, CROSS_XML))
+    ev = build_events(pts, cfg)
+    texts = ev.filter(F.col("etype") == ET_TEXT).collect()
+    stamps = ev.filter(F.col("etype") == 0).select("tx", "ty").distinct()
+    # exactly one text event per stamped tile
+    assert len(texts) == stamps.count()
+    # x2 encodes the first point's "%.1f" kph string (dot removed)
+    first = pts.orderBy("seg_order", "pt_idx").first()
+    kph_str = "%.1f" % (first.speed * 3.6)
+    t = {(r.tx, r.ty): r for r in texts}
+    ev0 = ev.filter((F.col("etype") == 0)).orderBy("pt_idx").first()
+    assert t[(ev0.tx, ev0.ty)].x2 == int(kph_str.replace(".", ""))
+    # rendered: underline pixel (0, 14) is SPEED_CLR in every text tile
+    tiles = {(r.tx, r.ty): decode_png(bytes(r.png))
+             for r in rasterize(ev, cfg).collect()}
+    for (tx, ty) in t:
+        px = tiles[(tx, ty)][14, 0]
+        assert (int(px[0]), int(px[1]), int(px[2])) == (0xC0, 0xC0, 0xC0)
+
+
+def test_diag_flags_default_off_unchanged(spark):
+    """Default config renders byte-identically with the diag machinery
+    in place (flags off ⇒ zero new events, zero canvas changes)."""
+    from gpx2tiles_spark.config import EngineConfig
+    from gpx2tiles_spark.operators.events import build_events
+    from gpx2tiles_spark.operators.parse import parse_documents
+    from gpx2tiles_spark.operators.raster import rasterize
+
+    cfg = EngineConfig(zoom_min=4, zoom_max=10)
+    pts = parse_documents(_one_doc(spark, CROSS_XML))
+    base = {(r.z, r.tx, r.ty): bytes(r.png)
+            for r in rasterize(build_events(pts, cfg), cfg).collect()}
+    assert len(base) > 0 and all(len(v) > 0 for v in base.values())
+
+
+# ---------------------------------------------------------------------------
+# Census counts tiles that only receive crossing lines (ADVICE r02)
+# ---------------------------------------------------------------------------
+
+CROSS_XML = """<gpx><trk><trkseg>
+<trkpt lat="48.0" lon="8.0"><time>2016-06-25T10:00:00Z</time></trkpt>
+<trkpt lat="48.0" lon="8.9"><time>2016-06-25T10:00:01Z</time></trkpt>
+</trkseg></trk></gpx>"""
+
+
+def test_census_includes_line_only_tiles(spark):
+    """A segment spanning ~2.5 tiles at z10 registers the intermediate
+    tile with 0 stamps — the reference's census prints it as ' x/y (0)';
+    deriving the census from stamp counts alone missed it."""
+    from gpx2tiles_spark.config import EngineConfig
+    from gpx2tiles_spark.corpus import SPANS_SCHEMA
+    from gpx2tiles_spark.operators.dump import zoom_census_lines
+    from gpx2tiles_spark.operators.parse import parse_documents
+
+    doc = spark.createDataFrame(
+        [("cross0", [{"kind": "gpx", "text": CROSS_XML, "media_ref": None,
+                      "offset": 0}])], SPANS_SCHEMA)
+    pts = parse_documents(doc)
+    census = {r.z: r.census for r in
+              zoom_census_lines(pts, EngineConfig(zoom_min=10, zoom_max=10))
+              .collect()}
+    assert "(0)" in census[10]   # the crossed-only middle tile
+    assert census[10].count("(1)") == 2  # both endpoint tiles
+
+
+# ---------------------------------------------------------------------------
 # Streaming windowed tile counts: watermark late-data semantics
 # ---------------------------------------------------------------------------
 
