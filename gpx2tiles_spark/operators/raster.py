@@ -293,20 +293,32 @@ def rasterize(events: DataFrame, cfg: EngineConfig,
     if diag_sequential:
         return _rasterize_cogroup(events, cfg, store)
     split = _canvas_read_z(cfg)
+    zooms = cfg.zooms()
+    # static branch pruning: don't put an (empty-by-construction) branch
+    # into the plan when the configured zoom range sits entirely on one
+    # side of the canvas-reading split
+    if max(zooms) < split:
+        return _incremental_low(events, cfg, store)
+    if min(zooms) >= split:
+        return _rasterize_cogroup(events, cfg, store)
     zcol = F.col("z")
     high = _rasterize_cogroup(events.filter(zcol >= F.lit(split)), cfg,
                               store.filter(zcol >= F.lit(split)))
-    low_ev = events.filter(zcol < F.lit(split))
-    low_store = store.filter(zcol < F.lit(split))
-    if cfg.heatmap:
-        low = _heatmap_counts_incremental(low_ev, cfg, low_store)
-    else:
-        if cfg.salt_buckets > 0:
-            fresh = rasterize_salted(low_ev, cfg)
-        else:
-            fresh = _rasterize_partitions(low_ev, cfg)
-        low = _overlay_on_store(fresh, low_store)
+    low = _incremental_low(events.filter(zcol < F.lit(split)), cfg,
+                           store.filter(zcol < F.lit(split)))
     return low.unionByName(high)
+
+
+def _incremental_low(events: DataFrame, cfg: EngineConfig,
+                     store: DataFrame) -> DataFrame:
+    """Skew-safe incremental render for the opaque-draw zoom zone."""
+    if cfg.heatmap:
+        return _heatmap_counts_incremental(events, cfg, store)
+    if cfg.salt_buckets > 0:
+        fresh = rasterize_salted(events, cfg)
+    else:
+        fresh = _rasterize_partitions(events, cfg)
+    return _overlay_on_store(fresh, store)
 
 
 def _rasterize_cogroup(events: DataFrame, cfg: EngineConfig,

@@ -321,6 +321,33 @@ def test_incremental_hot_tile_is_salted(spark):
     store.unpersist()
 
 
+def test_incremental_low_zoom_plan_has_no_cogroup(spark):
+    """Physical-plan shape of the skew-safe incremental path: below the
+    canvas-reading zooms the store≠None render must contain NO
+    FlatMapCoGroupsInPandas (one pandas group per tile = the hot-tile
+    serialization the round-3 redesign removes); with z >= 17 in range
+    the cogroup fold must appear (it is the correct shape there)."""
+    from gpx2tiles_spark.config import EngineConfig
+    from gpx2tiles_spark.operators.raster import rasterize
+
+    cfg_low = EngineConfig(zoom_min=1, zoom_max=12)
+    ev1, ev2 = _batches(spark, 6, cfg_low)
+    store = rasterize(ev1, cfg_low).select("z", "tx", "ty", "point_cnt",
+                                           "png")
+    low_plan = rasterize(ev2, cfg_low, store=store) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" not in low_plan
+    assert "MapInPandas" in low_plan  # partition-sliced fold + overlay
+
+    cfg_hi = EngineConfig(zoom_min=16, zoom_max=18)
+    ev1h, ev2h = _batches(spark, 6, cfg_hi)
+    storeh = rasterize(ev1h, cfg_hi).select("z", "tx", "ty", "point_cnt",
+                                            "png")
+    hi_plan = rasterize(ev2h, cfg_hi, store=storeh) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in hi_plan
+
+
 def test_incremental_pdop_zone_uses_base_canvas(spark):
     """z >= 17 events (PDOP alpha blends read the canvas) must fold over
     the store base — the whole-range cogroup is the semantic reference."""
