@@ -172,6 +172,95 @@ def embedding_near_dup(vectors: DataFrame, threshold_micro: int = 950_000,
             .select("vec_a", "vec_b", "cos_micro"))
 
 
+def _ivf_assign(df: DataFrame, vec_col: str, id_col: str,
+                centroids, top_cells: int = 1):
+    """(id, vec) → (id, vec, cell) for the ``top_cells`` nearest coarse
+    centroids (cosine; ties → lowest cell id), via ONE Arrow-batched
+    numpy pass.  FP semantics mirror the DuckDB oracle exactly: dots and
+    norms accumulate SEQUENTIALLY over dimensions, cosine is
+    acc / (|v| * |c|) with that association."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    C = np.asarray(centroids, np.float64)            # (cells, dim)
+    cn = np.sqrt((C * C).sum(axis=1))                # centroid norms
+
+    out_schema = T.StructType([
+        T.StructField(id_col, df.schema[id_col].dataType, False),
+        T.StructField(vec_col, df.schema[vec_col].dataType, False),
+        T.StructField("cell", T.IntegerType(), False),
+    ])
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray(
+                [np.asarray(v, np.float32).astype(np.float64)
+                 for v in pdf[vec_col]])
+            acc = np.zeros((len(V), C.shape[0]), np.float64)
+            vn2 = np.zeros(len(V), np.float64)
+            for d in range(C.shape[1]):  # sequential over dims (FP order)
+                acc += V[:, d, None] * C[None, :, d]
+                vn2 += V[:, d] * V[:, d]
+            cos = acc / (np.sqrt(vn2)[:, None] * cn[None, :])
+            # top cells, ties → lowest cell id (lexsort: -cos then id asc)
+            order = np.argsort(-cos, axis=1, kind="stable")[:, :top_cells]
+            rows = {
+                id_col: np.repeat(pdf[id_col].to_numpy(), top_cells),
+                vec_col: [v for v in pdf[vec_col] for _ in range(top_cells)],
+                "cell": order.astype(np.int32).reshape(-1),
+            }
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, vec_col).mapInPandas(gen, out_schema)
+
+
+def cosine_topk_ivf(vectors: DataFrame, queries: DataFrame, k: int = 10,
+                    n_cells: int = 16, n_probe: int = 4) -> DataFrame:
+    """IVF (inverted-file) ANN — the cell-partitioned scale path.
+
+    Coarse quantizer: the first ``n_cells`` vectors (vec_id < n_cells)
+    serve as centroids — deterministic and reproducible with no stored
+    index state, which is what makes the whole operator SQL-oracle-able;
+    a production deployment swaps k-means centroids in, the assign /
+    probe / re-rank plumbing is identical.  Every vector lands in its
+    max-cosine cell (an inverted list keyed by ``cell`` — at 10^9+
+    vectors this is a partition key, so a probe touches n_probe/n_cells
+    of the corpus instead of all of it); each query probes its
+    ``n_probe`` nearest cells and exact cosine re-ranks inside them.
+    Cells are balanced in expectation; a degenerate corpus (all vectors
+    in one cell) degrades to brute force over that cell, never worse.
+    """
+    cents = (vectors.filter(F.col("vec_id") < n_cells)
+             .orderBy("vec_id").collect())
+    centroids = [list(r.embedding) for r in cents]
+    v = _ivf_assign(vectors, "embedding", "vec_id", centroids, 1)
+    q = _ivf_assign(queries, "q_embedding", "qid", centroids, n_probe)
+    cand = (
+        v.join(F.broadcast(q), "cell")
+        .select("qid", "vec_id", "embedding", "q_embedding")
+        .dropDuplicates(["qid", "vec_id"])
+    )
+    # round-half-up micro units (not floor): the candidate set always
+    # contains each query's SELF pair, whose cosine sits exactly on the
+    # floor(1.0e6) boundary — engines summing the dot in different
+    # orders land an ulp on either side of 1.0, so the quantization
+    # boundary moves to .5 where no systematic value lives
+    cos = (_dot(F.col("embedding"), F.col("q_embedding"))
+           / (_norm(F.col("embedding")) * _norm(F.col("q_embedding"))))
+    j = cand.withColumn(
+        "cos_micro", F.floor(cos * 1000000.0 + F.lit(0.5)).cast("long"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_micro"), F.asc("vec_id"))
+    return (
+        j.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "vec_id", "cos_micro", "rnk")
+    )
+
+
 def cosine_topk_lsh(vectors: DataFrame, queries: DataFrame, k: int = 10,
                     n_tables: int = 8, planes_per_table: int = 4,
                     dim: int = 64) -> DataFrame:

@@ -1186,6 +1186,77 @@ def q_embedding_near_dup(spark, sf_dir):
                                   threshold_micro=400_000)
 
 
+_IVF_SQL = """
+  WITH pos AS (
+    SELECT vec_id,
+           CAST(unnest(generate_series(1, len(embedding))) AS INT) - 1 AS d,
+           unnest(list_transform(generate_series(1, len(embedding)),
+                                 i -> CAST(embedding[i] AS DOUBLE))) AS v
+    FROM embeddings),
+  cent AS (SELECT CAST(vec_id AS INT) AS cell, d, v FROM pos WHERE vec_id < 16),
+  norms AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM pos GROUP BY 1),
+  cnorm AS (SELECT cell, SQRT(SUM(v * v)) AS cn FROM cent GROUP BY 1),
+  cdot AS (
+    SELECT pos.vec_id, cent.cell, SUM(pos.v * cent.v) AS dt
+    FROM pos JOIN cent ON pos.d = cent.d GROUP BY 1, 2),
+  ccos AS (
+    SELECT dd.vec_id, dd.cell, dd.dt / (n.nrm * c.cn) AS cval
+    FROM cdot dd JOIN norms n ON n.vec_id = dd.vec_id
+    JOIN cnorm c ON c.cell = dd.cell),
+  assigned AS (
+    SELECT vec_id, cell FROM (
+      SELECT vec_id, cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cval DESC, cell) AS rn
+      FROM ccos) WHERE rn = 1),
+  probe AS (
+    SELECT vec_id AS qid, cell FROM (
+      SELECT vec_id, cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cval DESC, cell) AS rn
+      FROM ccos WHERE vec_id < 3) WHERE rn <= 4),
+  cand AS (
+    SELECT DISTINCT p.qid, a.vec_id
+    FROM probe p JOIN assigned a ON a.cell = p.cell),
+  cdots AS (
+    SELECT c.qid, c.vec_id, SUM(pa.v * pb.v) AS dot
+    FROM cand c
+    JOIN pos pa ON pa.vec_id = c.vec_id
+    JOIN pos pb ON pb.vec_id = c.qid AND pb.d = pa.d
+    GROUP BY 1, 2),
+  rcos AS (
+    SELECT qid, cdots.vec_id,
+           CAST(FLOOR(dot / (na.nrm * nb.nrm) * 1000000.0 + 0.5) AS BIGINT)
+             AS cos_micro
+    FROM cdots
+    JOIN norms na ON na.vec_id = cdots.vec_id
+    JOIN norms nb ON nb.vec_id = cdots.qid),
+  r AS (
+    SELECT qid, vec_id, cos_micro,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY cos_micro DESC, vec_id) AS rnk
+    FROM rcos)
+  SELECT qid, vec_id, cos_micro, CAST(rnk AS INT) AS rnk
+  FROM r WHERE rnk <= 10
+"""
+
+
+@register("ann_ivf", _IVF_SQL)
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN with a FULL oracle: the deterministic coarse quantizer
+    (first-16-vectors centroids), max-cosine cell assignment (inverted
+    lists), 4-cell query probe and exact cosine re-rank are all
+    re-derived in DuckDB SQL — the cell-partitioned counterpart of
+    `ann_lsh` (IVF is the assignment's explicitly-named scale path:
+    `cell` is a partition key, a probe touches n_probe/n_cells of the
+    corpus)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_embedding"))
+    return ann.cosine_topk_ivf(emb.select("vec_id", "embedding"), qs,
+                               k=10, n_cells=16, n_probe=4)
+
+
 @register("ann_lsh", _ANN_LSH_SQL)
 def q_ann_lsh(spark, sf_dir):
     """Multi-table hyperplane-LSH ANN with a FULL oracle: the md5 plane

@@ -42,6 +42,34 @@ def test_ngram_cap_inactive_below_threshold(spark):
 
 
 # ---------------------------------------------------------------------------
+# IVF ANN: recall vs brute force, probe widening monotonicity
+# ---------------------------------------------------------------------------
+
+def test_ivf_recall_and_probe_widening(spark):
+    from conftest import SF_ORACLE
+
+    from gpx2tiles_spark.operators import ann
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_embedding"))
+    brute = {(r.qid, r.vec_id)
+             for r in ann.cosine_topk_bruteforce(emb, qs, 10).collect()}
+
+    def recall(n_probe):
+        got = {(r.qid, r.vec_id) for r in
+               ann.cosine_topk_ivf(emb, qs, 10, n_cells=16,
+                                   n_probe=n_probe).collect()}
+        return len(got & brute) / len(brute)
+
+    r4 = recall(4)
+    r16 = recall(16)  # probing every cell == exact
+    assert r16 == 1.0
+    assert 0.3 <= r4 <= 1.0 and r4 <= r16
+
+
+# ---------------------------------------------------------------------------
 # -d diagnostic overlays (gpx2tiles.c:989-997): shadows / magenta / text
 # ---------------------------------------------------------------------------
 
