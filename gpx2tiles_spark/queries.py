@@ -819,6 +819,112 @@ def q_cell_rollup(spark, sf_dir):
         F.sum("n").alias("n_points"), F.count("*").alias("n_children"))
 
 
+def _s2_sql(level: int, body: str) -> str:
+    """DuckDB replica of operators/s2.py: unit vector → face/(u,v) →
+    quadratic ST → (i,j) at 2^level → Hilbert position via a recursive
+    CTE running the same per-bit orientation state machine, packed to
+    the canonical uint64 id (HUGEINT → two's-complement BIGINT wrap).
+    FP parity: every expression mirrors the numpy op tree (verified
+    exact on all three sf grids); ⌊s·2^level⌋ at the TARGET level keeps
+    the floor's decision margin 2^(30-level)× wider than the canonical
+    30-bit form while producing identical ids (prefix property)."""
+    n = 1 << level
+    lsb = 1 << (60 - 2 * level)
+    shift = 1 << (61 - 2 * level)
+    rad = "0.017453292519943295"  # numpy's double for pi/180
+    return f"""
+WITH RECURSIVE pts AS ({PTS_SQL}),
+xyz AS (
+  SELECT pid, user_id,
+         cos(lat*{rad})*cos(lon*{rad}) AS x,
+         cos(lat*{rad})*sin(lon*{rad}) AS y,
+         sin(lat*{rad}) AS z
+  FROM pts),
+ax AS (
+  SELECT *, CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z) THEN 0
+                 WHEN abs(y) >= abs(z) THEN 1 ELSE 2 END AS axis
+  FROM xyz),
+fm AS (
+  SELECT *, CASE axis WHEN 0 THEN x WHEN 1 THEN y ELSE z END AS major,
+         CASE WHEN (CASE axis WHEN 0 THEN x WHEN 1 THEN y ELSE z END) >= 0
+              THEN axis ELSE axis + 3 END AS face
+  FROM ax),
+uv AS (
+  SELECT pid, user_id, face,
+         (CASE face WHEN 0 THEN y WHEN 1 THEN -x WHEN 2 THEN -x
+                    WHEN 3 THEN z WHEN 4 THEN z ELSE -y END) / major AS u,
+         (CASE face WHEN 0 THEN z WHEN 1 THEN z WHEN 2 THEN -y
+                    WHEN 3 THEN y WHEN 4 THEN -x ELSE -x END) / major AS v
+  FROM fm),
+st AS (
+  SELECT pid, user_id, face,
+         CASE WHEN u >= 0 THEN 0.5*sqrt(1.0 + 3.0*u)
+              ELSE 1.0 - 0.5*sqrt(1.0 - 3.0*u) END AS s,
+         CASE WHEN v >= 0 THEN 0.5*sqrt(1.0 + 3.0*v)
+              ELSE 1.0 - 0.5*sqrt(1.0 - 3.0*v) END AS t
+  FROM uv),
+ij AS (
+  SELECT pid, user_id, face,
+         LEAST(GREATEST(CAST(FLOOR(s * {n}.0) AS BIGINT), 0), {n - 1}) AS i,
+         LEAST(GREATEST(CAST(FLOOR(t * {n}.0) AS BIGINT), 0), {n - 1}) AS j
+  FROM st),
+hil AS (
+  SELECT pid, user_id, face, i, j, {level} AS k,
+         CAST(0 AS BIGINT) AS pos, face % 2 AS orient
+  FROM ij
+  UNION ALL
+  SELECT pid, user_id, face, i, j, k - 1, pos * 4 + sub,
+         xor(orient, CASE sub WHEN 0 THEN 1 WHEN 3 THEN 3 ELSE 0 END)
+  FROM (
+    SELECT *, CASE orient * 4 + ((i >> (k-1)) & 1) * 2 + ((j >> (k-1)) & 1)
+        WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 2
+        WHEN 4 THEN 0 WHEN 5 THEN 3 WHEN 6 THEN 1 WHEN 7 THEN 2
+        WHEN 8 THEN 2 WHEN 9 THEN 3 WHEN 10 THEN 1 WHEN 11 THEN 0
+        WHEN 12 THEN 2 WHEN 13 THEN 1 WHEN 14 THEN 3 ELSE 0 END AS sub
+    FROM hil WHERE k > 0) t),
+cells AS (
+  SELECT pid, user_id,
+         CAST(CASE WHEN hid >= 9223372036854775808
+                   THEN hid - 18446744073709551616 ELSE hid END AS BIGINT)
+           AS s2_cell
+  FROM (SELECT pid, user_id,
+               CAST(face AS HUGEINT) * 2305843009213693952
+             + CAST(pos AS HUGEINT) * {shift} + {lsb} AS hid
+        FROM hil WHERE k = 0) z)
+{body}
+"""
+
+
+@register("s2_cells_l12", _s2_sql(12, "SELECT pid, s2_cell FROM cells"))
+def q_s2_cells(spark, sf_dir):
+    """True S2 cell ids (north rule: "H3/S2-indexed tile cells") at
+    level 12 per point, Arrow-batched numpy (operators/s2.py) vs the
+    oracle's recursive-CTE Hilbert state machine — face selection,
+    quadratic ST and the full curve all round-trip through DuckDB."""
+    from .operators.s2 import with_s2_cell
+    return with_s2_cell(_points(spark, sf_dir), level=12) \
+        .select("pid", "s2_cell")
+
+
+@register("s2_rollup_l8", _s2_sql(8, """
+, l8 AS (SELECT s2_cell, COUNT(*) AS n_points,
+                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM cells GROUP BY 1)
+SELECT s2_cell AS s2_cell8, n_points, n_users FROM l8"""))
+def q_s2_rollup(spark, sf_dir):
+    """S2 hierarchical rollup: the engine encodes at level 12 and
+    aggregates to the level-8 PARENT via pure integer id math
+    (s2_parent — JVM-side, map-combinable groupBy), while the oracle
+    independently re-encodes at level 8; agreement proves the prefix/
+    parent property of the id layout end-to-end."""
+    from .operators.s2 import s2_parent, with_s2_cell
+    pts = with_s2_cell(_points(spark, sf_dir), level=12)
+    return pts.groupBy(
+        s2_parent(F.col("s2_cell"), 12, 8).alias("s2_cell8")).agg(
+        F.count("*").alias("n_points"),
+        F.countDistinct("user_id").cast("long").alias("n_users"))
+
+
 @register("simhash_hamming_pairs", f"""
   WITH words AS (
     SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents
@@ -934,6 +1040,18 @@ def _points_cache(spark, sf_dir: str) -> str:
     parse_documents(_sf_docs(spark, sf_dir)).select(*_PTS_COLS) \
         .write.mode("overwrite").parquet(path)
     _relink(os.path.join(_ORACLE_CACHE, "points_current"), f"points_n{n}.parquet")
+    return path
+
+
+def _docs_cache(spark, sf_dir: str) -> str:
+    """Materialize the interleaved corpus documents (doc_id, spans) for
+    THIS sf and repoint the ``docs_current`` symlink — same mechanism as
+    :func:`_points_cache`, one level earlier in the pipeline, so DuckDB
+    can unnest the exact span arrays the Spark side consumes."""
+    n = _sf_n_docs(sf_dir)
+    path = os.path.join(_ORACLE_CACHE, f"docs_n{n}.parquet")
+    _sf_docs(spark, sf_dir).write.mode("overwrite").parquet(path)
+    _relink(os.path.join(_ORACLE_CACHE, "docs_current"), f"docs_n{n}.parquet")
     return path
 
 
@@ -1066,6 +1184,39 @@ def q_parse_points(spark, sf_dir):
     _relink_golden("parse_golden_current",
                    os.path.join(_GOLDEN_DIR, f"parse_points_n{n}.parquet"))
     return parse_points_comparable(parse_documents(_sf_docs(spark, sf_dir)))
+
+
+# Input-hint invariant (BASELINE.json): per-row span-sequence equality
+# (kind, text, media_ref, order).  The oracle laterally unnests the SAME
+# materialized corpus parquet the Spark side reads; the Spark side first
+# destroys and rebuilds the arrays (explode → shuffle-bearing group/sort
+# reassemble → explode), so any order or field loss flips the hash.
+_SPAN_SQL = f"""
+  SELECT doc_id, CAST(i - 1 AS INT) AS span_idx,
+         spans[i].kind AS kind,
+         md5(COALESCE(spans[i].text, '')) AS text_md5,
+         COALESCE(spans[i].media_ref, '') AS media_ref,
+         spans[i]."offset" AS "offset"
+  FROM read_parquet('{os.path.join(_ORACLE_CACHE, "docs_current", "*.parquet")}'),
+       unnest(generate_series(1, len(spans))) AS t(i)
+"""
+
+
+@register("span_roundtrip", _SPAN_SQL)
+def q_span_roundtrip(spark, sf_dir):
+    """Span-sequence invariant check as a full-oracle row: round-trip
+    the interleaved documents through explode_spans → reassemble_spans →
+    explode_spans and compare against a direct unnest of the same
+    parquet.  Proves (kind, text, media_ref, offset, order) survive the
+    engine's relational span handling end-to-end."""
+    from .operators.parse import explode_spans, reassemble_spans
+    docs = spark.read.parquet(_docs_cache(spark, sf_dir))
+    back = reassemble_spans(explode_spans(docs))
+    return explode_spans(back).select(
+        "doc_id", "span_idx", "kind",
+        F.md5(F.coalesce("text", F.lit(""))).alias("text_md5"),
+        F.coalesce("media_ref", F.lit("")).alias("media_ref"),
+        "offset")
 
 
 @register("render_tiles", _render_oracle_sql(10, lines=True))

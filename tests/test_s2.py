@@ -1,0 +1,99 @@
+"""S2 cell id tests: Hilbert-curve properties, hierarchy, face layout,
+and the Spark Column/oracle-facing surfaces (operators/s2.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gpx2tiles_spark.operators.s2 import (
+    _hilbert_pos, s2_cell_id, s2_parent, with_s2_cell)
+
+
+def test_hilbert_bijective_and_adjacent_all_faces():
+    """On every face the level-4 curve visits each of the 256 (i,j)
+    cells exactly once and consecutive positions are grid neighbors
+    (|Δi|+|Δj| == 1) — the defining Hilbert locality property.  Any
+    transcription error in the IJ→pos / orientation tables breaks one
+    of the two."""
+    n = 16
+    ii, jj = np.meshgrid(np.arange(n, dtype=np.int64),
+                         np.arange(n, dtype=np.int64), indexing="ij")
+    for face in range(6):
+        f = np.full(ii.size, face, dtype=np.int64)
+        pos = _hilbert_pos(f, ii.ravel(), jj.ravel(), 4)
+        assert len(set(pos.tolist())) == n * n
+        order = np.argsort(pos)
+        io, jo = ii.ravel()[order], jj.ravel()[order]
+        step = np.abs(np.diff(io)) + np.abs(np.diff(jo))
+        assert (step == 1).all()
+
+
+def test_parent_matches_direct_encode():
+    """Integer parent math at any coarser level equals re-encoding the
+    point there (the id prefix property the rollup query relies on)."""
+    rng = np.random.RandomState(42)
+    lat = rng.uniform(-85, 85, 3000)
+    lon = rng.uniform(-180, 180, 3000)
+    c14 = s2_cell_id(lat, lon, 14)
+    for parent_level in (12, 8, 4, 0):
+        assert (s2_parent(c14, 14, parent_level)
+                == s2_cell_id(lat, lon, parent_level)).all()
+
+
+def test_face_centers_and_level0_layout():
+    """The six face centers land on faces 0..5 in the canonical +x +y
+    +z -x -y -z order, and a level-0 id is exactly face<<61 | 1<<60."""
+    ids = s2_cell_id(np.array([0.0, 0.0, 90.0, 0.0, 0.0, -90.0]),
+                     np.array([0.0, 90.0, 0.0, 180.0, -90.0, 0.0]), 0)
+    u = ids.view(np.uint64)
+    assert (u >> np.uint64(61)).astype(int).tolist() == [0, 1, 2, 3, 4, 5]
+    assert (u & np.uint64((1 << 61) - 1) == np.uint64(1 << 60)).all()
+
+
+def test_locality_same_cell_for_near_points():
+    """Points metres apart share level-12 cells; points a continent
+    apart never do."""
+    near = s2_cell_id(np.array([48.9157, 48.91572]),
+                      np.array([8.5038, 8.50381]), 12)
+    assert near[0] == near[1]
+    far = s2_cell_id(np.array([48.9157, 40.7128]),
+                     np.array([8.5038, -74.0060]), 12)
+    assert far[0] != far[1]
+
+
+def test_level_bounds_rejected():
+    with pytest.raises(ValueError):
+        s2_cell_id(np.array([0.0]), np.array([0.0]), 31)
+    with pytest.raises(ValueError):
+        s2_parent(np.array([1], dtype=np.int64), 8, 12)
+
+
+def test_with_s2_cell_spark_matches_numpy(spark):
+    """The Arrow-batched Column path returns byte-identical ids to the
+    direct numpy call, including negative int64 ids (faces 4/5)."""
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "lat": [48.9157, -33.8688, 40.7128, -90.0, 0.0],
+        "lon": [8.5038, 151.2093, -74.0060, 0.0, -90.0],
+    })
+    df = with_s2_cell(spark.createDataFrame(pdf), level=12)
+    got = [r.s2_cell for r in df.orderBy("lon").collect()]
+    order = pdf.sort_values("lon")
+    want = s2_cell_id(order["lat"].to_numpy(), order["lon"].to_numpy(),
+                      12).tolist()
+    assert got == want
+    assert min(want) < 0  # a face-4/5 id exercises the sign wrap
+
+
+def test_s2_parent_column_variant(spark):
+    """The Column form of s2_parent agrees with the numpy form."""
+    import pandas as pd
+    rng = np.random.RandomState(7)
+    lat, lon = rng.uniform(-80, 80, 50), rng.uniform(-179, 179, 50)
+    ids = s2_cell_id(lat, lon, 12)
+    df = spark.createDataFrame(pd.DataFrame({"s2_cell": ids}))
+    got = [r.p for r in df.select(
+        s2_parent(F.col("s2_cell"), 12, 6).alias("p")).collect()]
+    assert sorted(got) == sorted(s2_parent(ids, 12, 6).tolist())
