@@ -65,3 +65,74 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     df = df.withColumn("session_id", F.sum("new_sess").over(
         w.rowsBetween(Window.unboundedPreceding, 0)))
     return df
+
+
+def clip_segments_to_tiles(segs: DataFrame, tile_px: int = 256,
+                           max_span: int = 4) -> DataFrame:
+    """Segment-splitting clip at tile boundaries (Liang–Barsky — the
+    closed-form equivalent of the Cohen–Sutherland outcode clip the
+    north_star names): split every segment (gx0,gy0)→(gx1,gy1), given
+    in GLOBAL pixel coordinates at some zoom, into one row per tile it
+    intersects, carrying the clipped sub-segment endpoints.
+
+    Pure JVM Columns (when/greatest/least — whole-stage codegen, no
+    UDF): candidate tiles come from the bounding box (two sequence
+    explodes), the parametric t-interval then drops box corners the
+    line misses.  ``max_span`` caps the explode per axis — GPS tracks
+    have short consecutive segments, so at 10^12 rows the guard bounds
+    the blow-up a single cross-continent glitch segment would cause
+    (same philosophy as the LSH max_bucket / ngram max_df caps);
+    dropped segments are the caller's dead-letter channel.
+
+    Degenerate touches (t0 == t1, a corner graze) are kept — they clip
+    to a zero-length sub-segment, mirroring gd's endpoint-inclusive
+    rasterization.
+    """
+    g = segs
+    txa = F.floor(F.col("gx0") / tile_px).cast("int")
+    txb = F.floor(F.col("gx1") / tile_px).cast("int")
+    tya = F.floor(F.col("gy0") / tile_px).cast("int")
+    tyb = F.floor(F.col("gy1") / tile_px).cast("int")
+    g = (g.withColumn("txa", txa).withColumn("txb", txb)
+          .withColumn("tya", tya).withColumn("tyb", tyb)
+          .filter((F.abs(F.col("txb") - F.col("txa")) <= max_span)
+                  & (F.abs(F.col("tyb") - F.col("tya")) <= max_span))
+          .withColumn("tx", F.explode(F.sequence(
+              F.least("txa", "txb"), F.greatest("txa", "txb"))))
+          .withColumn("ty", F.explode(F.sequence(
+              F.least("tya", "tyb"), F.greatest("tya", "tyb"))))
+          .withColumn("tx", F.col("tx").cast("int"))
+          .withColumn("ty", F.col("ty").cast("int")))
+
+    dx = F.col("gx1") - F.col("gx0")
+    dy = F.col("gy1") - F.col("gy0")
+    lo_x = F.col("tx").cast("double") * tile_px
+    hi_x = lo_x + tile_px
+    lo_y = F.col("ty").cast("double") * tile_px
+    hi_y = lo_y + tile_px
+
+    def axis_t(d, p0, lo, hi):
+        """(t_enter, t_exit) against one slab; the parallel case maps
+        containment to the full/empty interval."""
+        t_lo = (F.when(d > 0, (lo - p0) / d)
+                 .when(d < 0, (hi - p0) / d)
+                 .otherwise(F.when((p0 >= lo) & (p0 <= hi),
+                                   F.lit(0.0)).otherwise(F.lit(2.0))))
+        t_hi = (F.when(d > 0, (hi - p0) / d)
+                 .when(d < 0, (lo - p0) / d)
+                 .otherwise(F.when((p0 >= lo) & (p0 <= hi),
+                                   F.lit(1.0)).otherwise(F.lit(-1.0))))
+        return t_lo, t_hi
+
+    tx_lo, tx_hi = axis_t(dx, F.col("gx0"), lo_x, hi_x)
+    ty_lo, ty_hi = axis_t(dy, F.col("gy0"), lo_y, hi_y)
+    t0 = F.greatest(F.lit(0.0), tx_lo, ty_lo)
+    t1 = F.least(F.lit(1.0), tx_hi, ty_hi)
+    g = g.withColumn("t0", t0).withColumn("t1", t1).filter(F.col("t0") <= F.col("t1"))
+    return g.select(
+        "sid", "tx", "ty",
+        (F.col("gx0") + F.col("t0") * dx).alias("cx0"),
+        (F.col("gy0") + F.col("t0") * dy).alias("cy0"),
+        (F.col("gx0") + F.col("t1") * dx).alias("cx1"),
+        (F.col("gy0") + F.col("t1") * dy).alias("cy1"),
+    )

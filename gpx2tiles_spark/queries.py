@@ -819,6 +819,101 @@ def q_cell_rollup(spark, sf_dir):
         F.sum("n").alias("n_points"), F.count("*").alias("n_children"))
 
 
+# Liang–Barsky slab interval, SQL side — mirrors geo.clip_segments_to_tiles
+# op for op (division / greatest / least are IEEE-identical given identical
+# inputs; the segment endpoints below are dyadic rationals, i.e. EXACT
+# doubles in both engines, so every downstream double matches bitwise).
+def _lb_t_sql(d: str, p0: str, lo: str, hi: str, enter: bool) -> str:
+    a, b = (lo, hi) if enter else (hi, lo)
+    full, empty = ("0.0", "2.0") if enter else ("1.0", "-1.0")
+    return f"""CASE WHEN {d} > 0 THEN ({a} - {p0}) / {d}
+                WHEN {d} < 0 THEN ({b} - {p0}) / {d}
+                ELSE CASE WHEN {p0} >= {lo} AND {p0} <= {hi}
+                          THEN {full} ELSE {empty} END END"""
+
+
+_CLIP_SEGS_SQL = """
+  SELECT event_id AS sid,
+         CAST(event_id * 37 % 2097152 AS DOUBLE)
+           + CAST(event_id % 16 AS DOUBLE) / 16.0 AS gx0,
+         CAST(event_id * 59 % 2097152 AS DOUBLE)
+           + CAST(event_id % 8 AS DOUBLE) / 8.0 AS gy0,
+         CAST(event_id * 37 % 2097152 AS DOUBLE)
+           + CAST(event_id % 16 AS DOUBLE) / 16.0
+           + CAST(event_id * 13 % 2048 - 1024 AS DOUBLE) AS gx1,
+         CAST(event_id * 59 % 2097152 AS DOUBLE)
+           + CAST(event_id % 8 AS DOUBLE) / 8.0
+           + CASE WHEN event_id % 10 = 0 THEN 0.0
+                  ELSE CAST(event_id * 29 % 2048 - 1024 AS DOUBLE) END AS gy1
+  FROM events
+"""
+
+
+@register("segment_clip_lb", f"""
+  WITH segs AS ({_CLIP_SEGS_SQL}),
+  boxed AS (
+    SELECT *, CAST(FLOOR(gx0 / 256) AS INT) AS txa,
+              CAST(FLOOR(gx1 / 256) AS INT) AS txb,
+              CAST(FLOOR(gy0 / 256) AS INT) AS tya,
+              CAST(FLOOR(gy1 / 256) AS INT) AS tyb
+    FROM segs),
+  guarded AS (
+    SELECT * FROM boxed
+    WHERE abs(txb - txa) <= 4 AND abs(tyb - tya) <= 4),
+  cx AS (
+    SELECT *, CAST(unnest(generate_series(least(txa, txb),
+                                          greatest(txa, txb))) AS INT) AS tx
+    FROM guarded),
+  cxy AS (
+    SELECT *, CAST(unnest(generate_series(least(tya, tyb),
+                                          greatest(tya, tyb))) AS INT) AS ty
+    FROM cx),
+  slabs AS (
+    SELECT sid, tx, ty, gx0, gy0, gx1 - gx0 AS dx, gy1 - gy0 AS dy,
+      GREATEST(0.0,
+        {_lb_t_sql('(gx1 - gx0)', 'gx0', '(CAST(tx AS DOUBLE) * 256.0)',
+                   '(CAST(tx AS DOUBLE) * 256.0 + 256.0)', True)},
+        {_lb_t_sql('(gy1 - gy0)', 'gy0', '(CAST(ty AS DOUBLE) * 256.0)',
+                   '(CAST(ty AS DOUBLE) * 256.0 + 256.0)', True)}) AS t0,
+      LEAST(1.0,
+        {_lb_t_sql('(gx1 - gx0)', 'gx0', '(CAST(tx AS DOUBLE) * 256.0)',
+                   '(CAST(tx AS DOUBLE) * 256.0 + 256.0)', False)},
+        {_lb_t_sql('(gy1 - gy0)', 'gy0', '(CAST(ty AS DOUBLE) * 256.0)',
+                   '(CAST(ty AS DOUBLE) * 256.0 + 256.0)', False)}) AS t1
+    FROM cxy)
+  SELECT sid, tx, ty,
+         CAST(FLOOR((gx0 + t0 * dx) * 1000000.0) AS BIGINT) AS cx0_micro,
+         CAST(FLOOR((gy0 + t0 * dy) * 1000000.0) AS BIGINT) AS cy0_micro,
+         CAST(FLOOR((gx0 + t1 * dx) * 1000000.0) AS BIGINT) AS cx1_micro,
+         CAST(FLOOR((gy0 + t1 * dy) * 1000000.0) AS BIGINT) AS cy1_micro
+  FROM slabs WHERE t0 <= t1
+""")
+def q_segment_clip_lb(spark, sf_dir):
+    """Segment-splitting clip at tile boundaries (north_star's
+    Cohen–Sutherland item, realized as the closed-form Liang–Barsky
+    slab clip): one row per (segment, tile) with the clipped
+    sub-segment endpoints.  Whole-stage-codegen Columns end to end —
+    bbox sequence explode + parametric interval filter, no UDF; the
+    max_span guard bounds the explode against glitch segments (the
+    degenerate-bucket philosophy applied to spatial fan-out)."""
+    from .operators.geo import clip_segments_to_tiles
+    e = F.col("event_id")
+    gx0 = (e * 37 % 2097152).cast("double") + (e % 16).cast("double") / 16.0
+    gy0 = (e * 59 % 2097152).cast("double") + (e % 8).cast("double") / 8.0
+    segs = _t(spark, sf_dir, "events").select(
+        e.alias("sid"), gx0.alias("gx0"), gy0.alias("gy0"),
+        (gx0 + (e * 13 % 2048 - 1024).cast("double")).alias("gx1"),
+        (gy0 + F.when(e % 10 == 0, F.lit(0.0)).otherwise(
+            (e * 29 % 2048 - 1024).cast("double"))).alias("gy1"))
+    clipped = clip_segments_to_tiles(segs, tile_px=256, max_span=4)
+    return clipped.select(
+        "sid", "tx", "ty",
+        F.floor(F.col("cx0") * 1e6).cast("long").alias("cx0_micro"),
+        F.floor(F.col("cy0") * 1e6).cast("long").alias("cy0_micro"),
+        F.floor(F.col("cx1") * 1e6).cast("long").alias("cx1_micro"),
+        F.floor(F.col("cy1") * 1e6).cast("long").alias("cy1_micro"))
+
+
 def _s2_sql(level: int, body: str) -> str:
     """DuckDB replica of operators/s2.py: unit vector → face/(u,v) →
     quadratic ST → (i,j) at 2^level → Hilbert position via a recursive
