@@ -136,3 +136,40 @@ def clip_segments_to_tiles(segs: DataFrame, tile_px: int = 256,
         (F.col("gx0") + F.col("t1") * dx).alias("cx1"),
         (F.col("gy0") + F.col("t1") * dy).alias("cy1"),
     )
+
+
+def polygon_edges(polys: DataFrame) -> DataFrame:
+    """polygons(poly_id, vertices:array<struct<x,y>>) → one row per
+    edge, implicitly closing last→first.  posexplode keeps vertex order
+    (the same span-order discipline as the documents table)."""
+    e = polys.select(
+        "poly_id", F.col("vertices").alias("vs"),
+        F.posexplode("vertices").alias("i", "v"))
+    nxt = F.element_at("vs", ((F.col("i") + 1) % F.size("vs")) + 1)
+    return e.select(
+        "poly_id",
+        F.col("v.x").alias("x1"), F.col("v.y").alias("y1"),
+        nxt["x"].alias("x2"), nxt["y"].alias("y2"))
+
+
+def points_in_polygons(points: DataFrame, polys: DataFrame,
+                       x_col: str = "lon", y_col: str = "lat") -> DataFrame:
+    """Point-in-polygon for ARBITRARY (incl. concave) polygons, fully
+    relational: broadcast the edge table, join on the ray-casting
+    half-open crossing predicate, count crossings per (point, polygon),
+    keep odd parity.  The join itself is broadcast (no shuffle of the
+    fact table); the parity groupBy is map-side combinable, so the one
+    shuffle moves ≈ one row per (point, polygon-with-crossings) pair,
+    not per edge hit.  The half-open rule (y1 > py) != (y2 > py) counts
+    a shared vertex exactly once and skips horizontal edges."""
+    edges = F.broadcast(polygon_edges(polys))
+    px, py = F.col(x_col), F.col(y_col)
+    crossing = ((F.col("y1") > py) != (F.col("y2") > py)) & (
+        px < F.col("x1")
+        + (py - F.col("y1")) * (F.col("x2") - F.col("x1"))
+        / (F.col("y2") - F.col("y1")))
+    hits = points.join(edges, crossing, "inner")
+    return (hits.groupBy("pid", "poly_id")
+            .agg(F.count("*").alias("n_cross"))
+            .filter(F.col("n_cross") % 2 == 1)
+            .select("pid", "poly_id"))

@@ -369,6 +369,52 @@ def q_pip_rects(spark, sf_dir):
     )
 
 
+# Shared polygon fixture for the ray-cast PIP — integer vertices (exact
+# doubles), concave shapes included; ONE literal feeds both the Spark
+# DataFrame and the SQL VALUES edge list so they cannot drift.
+_PIP_POLYS: dict[int, list[tuple[float, float]]] = {
+    1: [(-100, -50), (0, -50), (0, 0), (-50, 0), (-50, 50), (-100, 50)],
+    2: [(20, -60), (120, -60), (70, 60)],                       # triangle
+    3: [(130, -20), (170, -20), (150, 0), (170, 20), (130, 20), (145, 0)],
+}
+
+
+def _pip_edges_sql() -> str:
+    rows = []
+    for pid, vs in _PIP_POLYS.items():
+        for (x1, y1), (x2, y2) in zip(vs, vs[1:] + vs[:1]):
+            rows.append(f"({pid}, {x1}.0, {y1}.0, {x2}.0, {y2}.0)")
+    return ",\n           ".join(rows)
+
+
+@register("pip_polygons", f"""
+  WITH pts AS ({PTS_SQL}),
+  edges(poly_id, x1, y1, x2, y2) AS (
+    VALUES {_pip_edges_sql()}),
+  hits AS (
+    SELECT p.pid, e.poly_id
+    FROM pts p, edges e
+    WHERE (e.y1 > p.lat) <> (e.y2 > p.lat)
+      AND p.lon < e.x1 + (p.lat - e.y1) * (e.x2 - e.x1) / (e.y2 - e.y1))
+  SELECT pid, poly_id FROM hits
+  GROUP BY pid, poly_id HAVING COUNT(*) % 2 = 1
+""")
+def q_pip_polygons(spark, sf_dir):
+    """Ray-cast point-in-polygon over concave polygons (north rule:
+    "point-in-polygon" beyond axis-aligned rects): broadcast edge
+    table, half-open crossing predicate as the join condition, odd
+    crossing parity per (point, polygon).  The oracle runs the same
+    predicate as a theta-join in DuckDB — identical doubles because the
+    vertex literals are exact and the op tree is mirrored."""
+    import pandas as pd
+    pts = _points(spark, sf_dir).select("pid", "lon", "lat")
+    polys = spark.createDataFrame(pd.DataFrame([
+        {"poly_id": k,
+         "vertices": [{"x": float(x), "y": float(y)} for x, y in vs]}
+        for k, vs in _PIP_POLYS.items()]))
+    return geo.points_in_polygons(pts, polys)
+
+
 @register("sessionize", """
   WITH s AS (
     SELECT user_id, event_id,
