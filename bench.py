@@ -90,6 +90,7 @@ def run_bench(sf_dir: str, cpus: int, n_render_docs: int | None = None):
         "knn_bucketed", "pip_rects", "sessionize", "dedup_exact",
         "minhash_lsh_pairs", "simhash16", "ngram_jaccard", "cosine_topk",
         "quality_scores", "language_id", "fingerprints", "token_counts",
+        "s2_cells_l12", "segment_clip_lb", "pip_polygons",
     ]
     total0 = time.time()
     # warm-up: JVM codegen + Python worker pool spin-up, untimed (the

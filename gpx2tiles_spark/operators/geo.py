@@ -155,20 +155,42 @@ def polygon_edges(polys: DataFrame) -> DataFrame:
 def points_in_polygons(points: DataFrame, polys: DataFrame,
                        x_col: str = "lon", y_col: str = "lat") -> DataFrame:
     """Point-in-polygon for ARBITRARY (incl. concave) polygons, fully
-    relational: broadcast the edge table, join on the ray-casting
-    half-open crossing predicate, count crossings per (point, polygon),
-    keep odd parity.  The join itself is broadcast (no shuffle of the
-    fact table); the parity groupBy is map-side combinable, so the one
-    shuffle moves ≈ one row per (point, polygon-with-crossings) pair,
-    not per edge hit.  The half-open rule (y1 > py) != (y2 > py) counts
-    a shared vertex exactly once and skips horizontal edges."""
-    edges = F.broadcast(polygon_edges(polys))
+    relational and in two broadcast stages:
+
+    1. bbox prefilter — points theta-join the broadcast per-polygon
+       bounding boxes (the poor man's R-tree root): with thousands of
+       polygons each point pays O(overlapping bboxes), not O(total
+       edges);
+    2. edge test — candidates equi-join the broadcast edge table on
+       poly_id (BroadcastHashJoin, not a nested loop) with the
+       ray-casting half-open crossing predicate as a residual filter,
+       then odd crossing parity per (point, polygon).
+
+    The fact table never shuffles before a join; the parity groupBy is
+    map-side combinable, so the one shuffle moves ≈ one row per
+    (point, crossed-polygon) pair — not per edge hit.  The half-open
+    rule (y1 > py) != (y2 > py) counts a shared vertex exactly once
+    and skips horizontal edges.  The ray shoots toward +x, so only the
+    y-extent + x_max matter in the bbox gate (a point left of the box
+    must still see the edges)."""
+    edges = polygon_edges(polys)
     px, py = F.col(x_col), F.col(y_col)
+
+    boxes = F.broadcast(edges.groupBy("poly_id").agg(
+        F.least(F.min("y1"), F.min("y2")).alias("by_min"),
+        F.greatest(F.max("y1"), F.max("y2")).alias("by_max"),
+        F.greatest(F.max("x1"), F.max("x2")).alias("bx_max")))
+    cand = points.join(
+        boxes,
+        (py >= F.col("by_min")) & (py <= F.col("by_max"))
+        & (px < F.col("bx_max")),
+        "inner").drop("by_min", "by_max", "bx_max")
+
     crossing = ((F.col("y1") > py) != (F.col("y2") > py)) & (
         px < F.col("x1")
         + (py - F.col("y1")) * (F.col("x2") - F.col("x1"))
         / (F.col("y2") - F.col("y1")))
-    hits = points.join(edges, crossing, "inner")
+    hits = cand.join(F.broadcast(edges), "poly_id", "inner").filter(crossing)
     return (hits.groupBy("pid", "poly_id")
             .agg(F.count("*").alias("n_cross"))
             .filter(F.col("n_cross") % 2 == 1)

@@ -68,10 +68,13 @@ def test_shared_vertex_counted_once(spark):
     assert got == {(2, 1)}
 
 
-def test_pip_plan_broadcasts_edges(spark):
-    """The edge side must broadcast — no shuffle of the point table
-    before the join."""
+def test_pip_plan_broadcasts_both_stages(spark):
+    """Stage 1 (bbox gate) is a broadcast nested loop on the tiny box
+    table; stage 2 (edge test) must be a broadcast HASH join on
+    poly_id — the point table never shuffles before a join."""
     plan = points_in_polygons(
         _pts(spark, [(1, 1.0, 1.0)]), _polys(spark, _L_SHAPE))._jdf \
         .queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
