@@ -62,19 +62,33 @@ class TileStore:
     def committed_batches(self) -> set[str]:
         return {s["batch_key"] for s in self.manifest()["snapshots"]}
 
-    def _live(self) -> list[dict]:
-        """Snapshots that contribute to the current state: everything
-        since (and including) the most recent compaction."""
-        snaps = self.manifest()["snapshots"]
+    @staticmethod
+    def _live_upto(snaps: list[dict]) -> list[dict]:
+        """Of the given snapshot prefix, the ones that contribute to its
+        end state: everything since (and including) the last compaction."""
         start = 0
         for i, s in enumerate(snaps):
             if s.get("kind") == "compact":
                 start = i
         return snaps[start:]
 
+    def _live(self) -> list[dict]:
+        return self._live_upto(self.manifest()["snapshots"])
+
+    def as_of(self, snapshot_id: int) -> DataFrame | None:
+        """Time travel: the table state as of `snapshot_id` (inclusive) —
+        the Iceberg-checkpoint read path.  A compaction at or before the
+        id bounds how many deltas the merge touches, exactly like
+        current(); later snapshots never contribute."""
+        snaps = [s for s in self.manifest()["snapshots"]
+                 if s["id"] <= snapshot_id]
+        return self._merge(self._live_upto(snaps))
+
     def current(self) -> DataFrame | None:
         """Latest-wins merge of the live delta snapshots (merge-on-read)."""
-        live = self._live()
+        return self._merge(self._live())
+
+    def _merge(self, live: list[dict]) -> DataFrame | None:
         if not live:
             return None
         dfs = [

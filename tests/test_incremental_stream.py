@@ -70,3 +70,31 @@ def test_streaming_incremental(spark, tmp_path):
     assert set(got) == set(full)
     for k in full:
         assert got[k][0] == full[k][0], k
+
+
+def test_as_of_time_travel(spark, tmp_path):
+    """as_of(sid) reproduces the store state right after that snapshot
+    committed — including across a compaction, which must not rewrite
+    history for reads pinned before it."""
+    docs = generate_documents(spark, 9, partitions=3).cache()
+    d = str(tmp_path / "store3")
+    store = process_batches(spark, docs, d, CFG, n_batches=3)
+    snaps = store.manifest()["snapshots"]
+    sid0 = snaps[0]["id"]
+
+    early = _tiles_map(store.as_of(sid0).select("z", "tx", "ty",
+                                                "point_cnt", "png"))
+    final = _tiles_map(store.current().select("z", "tx", "ty",
+                                              "point_cnt", "png"))
+    assert set(early) <= set(final)
+    assert len(early) < len(final)  # later batches added tiles
+
+    # compaction appends a snapshot; pinned reads before it are unchanged,
+    # and as_of(latest) == current()
+    store.compact()
+    early2 = _tiles_map(store.as_of(sid0).select("z", "tx", "ty",
+                                                 "point_cnt", "png"))
+    assert early2 == early
+    last = store.manifest()["snapshots"][-1]["id"]
+    assert _tiles_map(store.as_of(last).select(
+        "z", "tx", "ty", "point_cnt", "png")) == final
