@@ -960,61 +960,63 @@ def q_segment_clip_lb(spark, sf_dir):
         F.floor(F.col("cy1") * 1e6).cast("long").alias("cy1_micro"))
 
 
-def _s2_sql(level: int, body: str) -> str:
-    """DuckDB replica of operators/s2.py: unit vector → face/(u,v) →
-    quadratic ST → (i,j) at 2^level → Hilbert position via a recursive
-    CTE running the same per-bit orientation state machine, packed to
-    the canonical uint64 id (HUGEINT → two's-complement BIGINT wrap).
-    FP parity: every expression mirrors the numpy op tree (verified
-    exact on all three sf grids); ⌊s·2^level⌋ at the TARGET level keeps
-    the floor's decision margin 2^(30-level)× wider than the canonical
-    30-bit form while producing identical ids (prefix property)."""
+def _s2_chain(level: int, src: str, ids: str, sfx: str = "") -> str:
+    """DuckDB CTE chain replicating operators/s2.py for the rows of CTE
+    `src` (must expose lon/lat plus the `ids` passthrough columns):
+    unit vector → face/(u,v) → quadratic ST → (i,j) at 2^level →
+    Hilbert position via a recursive CTE running the same per-bit
+    orientation state machine, packed to the canonical uint64 id
+    (HUGEINT → two's-complement BIGINT wrap).  All CTE names carry
+    `sfx` so two chains (e.g. points and POIs) can coexist under one
+    WITH RECURSIVE.  FP parity: every expression mirrors the numpy op
+    tree (verified exact on all three sf grids); ⌊s·2^level⌋ at the
+    TARGET level keeps the floor's decision margin 2^(30-level)× wider
+    than the canonical 30-bit form while producing identical ids
+    (prefix property)."""
     n = 1 << level
     lsb = 1 << (60 - 2 * level)
     shift = 1 << (61 - 2 * level)
     rad = "0.017453292519943295"  # numpy's double for pi/180
-    return f"""
-WITH RECURSIVE pts AS ({PTS_SQL}),
-xyz AS (
-  SELECT pid, user_id,
+    return f"""xyz{sfx} AS (
+  SELECT {ids},
          cos(lat*{rad})*cos(lon*{rad}) AS x,
          cos(lat*{rad})*sin(lon*{rad}) AS y,
          sin(lat*{rad}) AS z
-  FROM pts),
-ax AS (
+  FROM {src}),
+ax{sfx} AS (
   SELECT *, CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z) THEN 0
                  WHEN abs(y) >= abs(z) THEN 1 ELSE 2 END AS axis
-  FROM xyz),
-fm AS (
+  FROM xyz{sfx}),
+fm{sfx} AS (
   SELECT *, CASE axis WHEN 0 THEN x WHEN 1 THEN y ELSE z END AS major,
          CASE WHEN (CASE axis WHEN 0 THEN x WHEN 1 THEN y ELSE z END) >= 0
               THEN axis ELSE axis + 3 END AS face
-  FROM ax),
-uv AS (
-  SELECT pid, user_id, face,
+  FROM ax{sfx}),
+uv{sfx} AS (
+  SELECT {ids}, face,
          (CASE face WHEN 0 THEN y WHEN 1 THEN -x WHEN 2 THEN -x
                     WHEN 3 THEN z WHEN 4 THEN z ELSE -y END) / major AS u,
          (CASE face WHEN 0 THEN z WHEN 1 THEN z WHEN 2 THEN -y
                     WHEN 3 THEN y WHEN 4 THEN -x ELSE -x END) / major AS v
-  FROM fm),
-st AS (
-  SELECT pid, user_id, face,
+  FROM fm{sfx}),
+st{sfx} AS (
+  SELECT {ids}, face,
          CASE WHEN u >= 0 THEN 0.5*sqrt(1.0 + 3.0*u)
               ELSE 1.0 - 0.5*sqrt(1.0 - 3.0*u) END AS s,
          CASE WHEN v >= 0 THEN 0.5*sqrt(1.0 + 3.0*v)
               ELSE 1.0 - 0.5*sqrt(1.0 - 3.0*v) END AS t
-  FROM uv),
-ij AS (
-  SELECT pid, user_id, face,
+  FROM uv{sfx}),
+ij{sfx} AS (
+  SELECT {ids}, face,
          LEAST(GREATEST(CAST(FLOOR(s * {n}.0) AS BIGINT), 0), {n - 1}) AS i,
          LEAST(GREATEST(CAST(FLOOR(t * {n}.0) AS BIGINT), 0), {n - 1}) AS j
-  FROM st),
-hil AS (
-  SELECT pid, user_id, face, i, j, {level} AS k,
+  FROM st{sfx}),
+hil{sfx} AS (
+  SELECT {ids}, face, i, j, {level} AS k,
          CAST(0 AS BIGINT) AS pos, face % 2 AS orient
-  FROM ij
+  FROM ij{sfx}
   UNION ALL
-  SELECT pid, user_id, face, i, j, k - 1, pos * 4 + sub,
+  SELECT {ids}, face, i, j, k - 1, pos * 4 + sub,
          xor(orient, CASE sub WHEN 0 THEN 1 WHEN 3 THEN 3 ELSE 0 END)
   FROM (
     SELECT *, CASE orient * 4 + ((i >> (k-1)) & 1) * 2 + ((j >> (k-1)) & 1)
@@ -1022,18 +1024,21 @@ hil AS (
         WHEN 4 THEN 0 WHEN 5 THEN 3 WHEN 6 THEN 1 WHEN 7 THEN 2
         WHEN 8 THEN 2 WHEN 9 THEN 3 WHEN 10 THEN 1 WHEN 11 THEN 0
         WHEN 12 THEN 2 WHEN 13 THEN 1 WHEN 14 THEN 3 ELSE 0 END AS sub
-    FROM hil WHERE k > 0) t),
-cells AS (
-  SELECT pid, user_id,
+    FROM hil{sfx} WHERE k > 0) t{sfx}),
+cells{sfx} AS (
+  SELECT {ids},
          CAST(CASE WHEN hid >= 9223372036854775808
                    THEN hid - 18446744073709551616 ELSE hid END AS BIGINT)
            AS s2_cell
-  FROM (SELECT pid, user_id,
+  FROM (SELECT {ids},
                CAST(face AS HUGEINT) * 2305843009213693952
              + CAST(pos AS HUGEINT) * {shift} + {lsb} AS hid
-        FROM hil WHERE k = 0) z)
-{body}
-"""
+        FROM hil{sfx} WHERE k = 0) z{sfx})"""
+
+
+def _s2_sql(level: int, body: str) -> str:
+    return (f"\nWITH RECURSIVE pts AS ({PTS_SQL}),\n"
+            + _s2_chain(level, "pts", "pid, user_id") + f"\n{body}\n")
 
 
 @register("s2_cells_l12", _s2_sql(12, "SELECT pid, s2_cell FROM cells"))
@@ -1064,6 +1069,61 @@ def q_s2_rollup(spark, sf_dir):
         s2_parent(F.col("s2_cell"), 12, 8).alias("s2_cell8")).agg(
         F.count("*").alias("n_points"),
         F.countDistinct("user_id").cast("long").alias("n_users"))
+
+
+_POI_SQL = """
+  SELECT s_suppkey AS poi_id,
+         (CAST(s_suppkey * 29 % 3600 AS DOUBLE) / 10.0) - 179.95 AS lon,
+         (CAST(s_suppkey * 13 % 1400 AS DOUBLE) / 10.0) - 69.95 AS lat
+  FROM supplier
+"""
+
+
+@register("s2_join_l3", f"""
+WITH RECURSIVE pts AS ({PTS_SQL}),
+pois AS ({_POI_SQL}),
+{_s2_chain(3, "pts", "pid, lon, lat")},
+{_s2_chain(3, "pois", "poi_id, lon, lat", "_q")},
+d AS (
+  SELECT p.pid, q.poi_id,
+         ACOS(LEAST(1.0,
+             SIN(RADIANS(p.lat)) * SIN(RADIANS(q.lat))
+           + COS(RADIANS(p.lat)) * COS(RADIANS(q.lat))
+           * COS(RADIANS(q.lon - p.lon)))) * 6371000.0 AS dist_m
+  FROM cells p JOIN cells_q q USING (s2_cell)),
+r AS (
+  SELECT pid, poi_id,
+         ROW_NUMBER() OVER (PARTITION BY pid ORDER BY dist_m, poi_id) AS rnk
+  FROM d)
+SELECT pid, poi_id FROM r WHERE rnk = 1
+""")
+def q_s2_join(spark, sf_dir):
+    """S2-bucketed spatial join (the north rule's "spatial-join engine
+    over the H3/S2 index"): points and a POI dimension each encode
+    their level-3 S2 cell, join on cell equality (broadcast dim — the
+    cell is the co-location/partition-pruning key at 10^12 rows), and
+    the nearest in-cell POI per point wins under the reference's
+    law-of-cosines metric.  Raw distances stay out of the comparable
+    output (acos ulp near ties — same policy as knn_earth); the oracle
+    re-derives BOTH cell chains with the recursive-CTE state machine."""
+    from .operators.s2 import with_s2_cell
+    pts = with_s2_cell(_points(spark, sf_dir).select("pid", "lon", "lat"),
+                       level=3)
+    k = F.col("s_suppkey")
+    pois = _t(spark, sf_dir, "supplier").select(
+        k.alias("poi_id"),
+        ((k * 29 % 3600).cast("double") / 10.0 - 179.95).alias("lon"),
+        ((k * 13 % 1400).cast("double") / 10.0 - 69.95).alias("lat"))
+    pois = with_s2_cell(pois, level=3).select(
+        "poi_id", F.col("lon").alias("poi_lon"),
+        F.col("lat").alias("poi_lat"), "s2_cell")
+    j = pts.join(F.broadcast(pois), "s2_cell")
+    dist = P.earth_distance_col(F.col("lat"), F.col("lon"),
+                                F.col("poi_lat"), F.col("poi_lon"))
+    w = Window.partitionBy("pid").orderBy("dist_m", "poi_id")
+    return (j.select("pid", "poi_id", dist.alias("dist_m"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") == 1).select("pid", "poi_id"))
 
 
 @register("simhash_hamming_pairs", f"""
