@@ -97,3 +97,34 @@ def test_s2_parent_column_variant(spark):
     got = [r.p for r in df.select(
         s2_parent(F.col("s2_cell"), 12, 6).alias("p")).collect()]
     assert sorted(got) == sorted(s2_parent(ids, 12, 6).tolist())
+
+
+def test_s2_join_query_nearest_poi(spark):
+    """The registered S2-bucketed join: a point sharing a POI's exact
+    location must pick that POI; the plan must broadcast the dim."""
+    from gpx2tiles_spark.queries import queries
+
+    df = queries()["s2_join_l3"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+    rows = {r.pid: r.poi_id for r in df.collect()}
+    assert rows  # the sf0.001 grid has same-cell point/POI pairs
+    # reconstruct the fixture's POI and point grids and spot-check one
+    # exact-collision pair end to end
+    import duckdb
+    con = duckdb.connect()
+    hit = con.sql("""
+      WITH p AS (SELECT event_id AS pid,
+               (CAST(event_id % 3600 AS DOUBLE)/10.0) - 179.95 AS lon,
+               (CAST((event_id*7 + user_id) % 1400 AS DOUBLE)/10.0) - 69.95 AS lat
+             FROM read_parquet('/root/testdata/sf0.001/events.parquet')),
+      s AS (SELECT s_suppkey AS poi_id,
+               (CAST(s_suppkey*29 % 3600 AS DOUBLE)/10.0) - 179.95 AS lon,
+               (CAST(s_suppkey*13 % 1400 AS DOUBLE)/10.0) - 69.95 AS lat
+             FROM read_parquet('/root/testdata/sf0.001/supplier.parquet'))
+      SELECT p.pid, s.poi_id FROM p JOIN s ON p.lon = s.lon AND p.lat = s.lat
+    """).fetchall()
+    for pid, poi in hit:
+        if pid in rows:          # same cell by construction (distance 0)
+            assert rows[pid] == poi
