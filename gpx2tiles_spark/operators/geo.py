@@ -153,7 +153,8 @@ def polygon_edges(polys: DataFrame) -> DataFrame:
 
 
 def points_in_polygons(points: DataFrame, polys: DataFrame,
-                       x_col: str = "lon", y_col: str = "lat") -> DataFrame:
+                       x_col: str = "lon", y_col: str = "lat",
+                       id_col: str = "pid") -> DataFrame:
     """Point-in-polygon for ARBITRARY (incl. concave) polygons, fully
     relational and in two broadcast stages:
 
@@ -186,12 +187,17 @@ def points_in_polygons(points: DataFrame, polys: DataFrame,
         & (px < F.col("bx_max")),
         "inner").drop("by_min", "by_max", "bx_max")
 
+    # try_divide: horizontal edges (y1 == y2) are already excluded by
+    # the left conjunct, but under ANSI mode a plain `/` would throw
+    # DIVIDE_BY_ZERO if Catalyst ever evaluated the conjuncts
+    # independently (conjunct order is not guaranteed); NULL → false
+    # keeps the semantics identical to DuckDB's inf-division.
     crossing = ((F.col("y1") > py) != (F.col("y2") > py)) & (
         px < F.col("x1")
-        + (py - F.col("y1")) * (F.col("x2") - F.col("x1"))
-        / (F.col("y2") - F.col("y1")))
+        + F.try_divide((py - F.col("y1")) * (F.col("x2") - F.col("x1")),
+                       F.col("y2") - F.col("y1")))
     hits = cand.join(F.broadcast(edges), "poly_id", "inner").filter(crossing)
-    return (hits.groupBy("pid", "poly_id")
+    return (hits.groupBy(id_col, "poly_id")
             .agg(F.count("*").alias("n_cross"))
             .filter(F.col("n_cross") % 2 == 1)
-            .select("pid", "poly_id"))
+            .select(id_col, "poly_id"))

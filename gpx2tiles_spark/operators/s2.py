@@ -52,8 +52,9 @@ MAX_LEVEL = 30
 
 
 def _face_uv(lat_deg: np.ndarray, lon_deg: np.ndarray):
-    """(lat, lon) degrees → (face, u, v).  Ties on |component| broken
-    x-then-y-then-z with >=, mirrored exactly in the SQL oracle."""
+    """(lat, lon) degrees → (face, u, v).  |component| ties break
+    toward the HIGHER axis index (strict >), matching s2geometry's
+    LargestAbsComponent; mirrored exactly in the SQL oracle."""
     lat = np.radians(lat_deg)
     lon = np.radians(lon_deg)
     clat = np.cos(lat)
@@ -62,8 +63,8 @@ def _face_uv(lat_deg: np.ndarray, lon_deg: np.ndarray):
     z = np.sin(lat)
     ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
 
-    x_major = (ax >= ay) & (ax >= az)
-    y_major = ~x_major & (ay >= az)
+    x_major = (ax > ay) & (ax > az)
+    y_major = ~x_major & (ay > az)
     axis = np.where(x_major, 0, np.where(y_major, 1, 2))
     major = np.where(x_major, x, np.where(y_major, y, z))
     face = np.where(major >= 0, axis, axis + 3).astype(np.int64)

@@ -383,7 +383,8 @@ def _pip_edges_sql() -> str:
     rows = []
     for pid, vs in _PIP_POLYS.items():
         for (x1, y1), (x2, y2) in zip(vs, vs[1:] + vs[:1]):
-            rows.append(f"({pid}, {x1}.0, {y1}.0, {x2}.0, {y2}.0)")
+            rows.append(f"({pid}, {float(x1)!r}, {float(y1)!r},"
+                        f" {float(x2)!r}, {float(y2)!r})")
     return ",\n           ".join(rows)
 
 
@@ -984,8 +985,8 @@ def _s2_chain(level: int, src: str, ids: str, sfx: str = "") -> str:
          sin(lat*{rad}) AS z
   FROM {src}),
 ax{sfx} AS (
-  SELECT *, CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z) THEN 0
-                 WHEN abs(y) >= abs(z) THEN 1 ELSE 2 END AS axis
+  SELECT *, CASE WHEN abs(x) > abs(y) AND abs(x) > abs(z) THEN 0
+                 WHEN abs(y) > abs(z) THEN 1 ELSE 2 END AS axis
   FROM xyz{sfx}),
 fm{sfx} AS (
   SELECT *, CASE axis WHEN 0 THEN x WHEN 1 THEN y ELSE z END AS major,
