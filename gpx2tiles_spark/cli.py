@@ -113,9 +113,16 @@ def parse_args(argv: list[str]) -> tuple[EngineConfig, dict, list[str]]:
         elif o == "-t":
             parse_thickness(a, cfg_kw["thickness"])
         elif o == "-c":
+            # -c and -S both write the reference's single set_speed
+            # variable (gpx2tiles.c:936-937,962): the LAST of the two
+            # wins.  -c → set_speed = INT_MAX + fixclr; clear any
+            # earlier -S.
             cfg_kw["speed_mode"] = "fixed"
             cfg_kw["fixed_color"] = int(a, 16) & 0xFFFFFF
+            cfg_kw["forced_speed_kph"] = None
         elif o == "-S":
+            # -S → set_speed = <kph>; clears an earlier -c's INT_MAX.
+            cfg_kw["speed_mode"] = "data"
             cfg_kw["forced_speed_kph"] = float(int(a, 0))
         elif o == "-p":
             cfg_kw["point_circle_diameter"] = int(a, 0)

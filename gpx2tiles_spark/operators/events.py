@@ -5,13 +5,16 @@ Re-expresses the reference's imperative draw loop
 event relations, all built with native Column expressions (one window
 shuffle for pairing + one hash shuffle into tile groups — nothing else):
 
-  stamp   — every point lands a pixel in its own tile (etype 0)
+  stamp   — every point lands a pixel in its own tile (ET_STAMP = 0)
   circle  — waypoint circles, exploded over their neighbor-tile rect
-            with the reference's exact (quirky) center translation (etype 1)
-  line    — same-tile segment lines (etype 2)
+            with the reference's exact (quirky) center translation
+            (ET_CIRCLE = 1)
+  diag    — PDOP / -d1 shadow ellipses (ET_PDOP = 2) and -d4 per-tile
+            speed text (ET_TEXT = 3)
+  line    — same-tile segment lines (ET_LINE = 4)
   line    — cross-tile segment lines: explode the tile rectangle between
             the endpoints' tiles, keep candidates whose translated segment
-            crosses a tile border edge (int64 CCW predicate, etype 2)
+            crosses a tile border edge (int64 CCW predicate, ET_LINE = 4)
 
 Event order within a tile = (doc_id, seg_order, pt_idx, etype) — exactly
 the reference's file→segment→point→(stamp, circle, line) draw order, so a

@@ -17,6 +17,8 @@ is XML and declares UTF-8 in practice.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -38,17 +40,41 @@ def read_gpx_documents(spark: SparkSession, paths: list[str] | str,
         df = reader.load(paths)
         doc_id = F.col("path")
     else:
-        df = spark.read.format("binaryFile").load(list(paths))
+        # Normalize BOTH sides of the index lookup to the absolute path:
+        # the CLI hands relative paths ("gpx2tiles -C out *.gpx" from a
+        # data dir) while binaryFile returns URI-qualified absolute
+        # paths — keying the map on the raw argv string would miss and
+        # silently NULL every doc_id.
+        norm = [os.path.abspath(p) for p in paths]
+        # The reference accepts the same file twice on argv and draws it
+        # twice (two painter slots); binaryFile dedupes the read, so map
+        # each unique path to ALL its list indices and explode — one
+        # row (and doc_id) per occurrence.
+        by_path: dict[str, list[int]] = {}
+        for i, p in enumerate(norm):
+            by_path.setdefault(p, []).append(i)
+        df = spark.read.format("binaryFile").load(sorted(by_path))
         if ordered:
             # plan-literal lookup map: the file list is CLI-sized
             mapping = F.create_map(
-                *[F.lit(x) for i, p in enumerate(paths) for x in (p, i)])
+                *[x for p, idxs in by_path.items()
+                  for x in (F.lit(p), F.array(*[F.lit(i) for i in idxs]))])
             # binaryFile paths come back URI-qualified; strip the scheme
             stripped = F.regexp_replace(F.col("path"), "^file:", "")
+            found = F.element_at(mapping, stripped)
+            # fail loudly on a lookup miss instead of emitting NULL
+            # doc_ids (which would collapse painter order downstream)
+            checked = F.when(
+                found.isNull(),
+                F.raise_error(F.concat(
+                    F.lit("gpx file list: path returned by binaryFile "
+                          "not in the given list: "), F.col("path")))
+                .cast("array<int>")).otherwise(found)
+            df = df.select(F.col("content"), stripped.alias("_path"),
+                           F.explode(checked).alias("_idx"))
             doc_id = F.concat(
-                F.lpad(F.element_at(mapping, stripped).cast("string"),
-                       8, "0"),
-                F.lit(":"), stripped)
+                F.lpad(F.col("_idx").cast("string"), 8, "0"),
+                F.lit(":"), F.col("_path"))
         else:
             doc_id = F.col("path")
     span = F.struct(

@@ -32,14 +32,56 @@ def test_flag_mapping():
     assert (cfg.zoom_min, cfg.zoom_max) == (3, 12)
     assert cfg.heatmap
     assert cfg.diag_shadows and cfg.diag_highlight_cross and cfg.diag_speed_text
-    assert cfg.speed_mode == "fixed" and cfg.fixed_color == 0xFF8800
-    assert cfg.forced_speed_kph == 25.0
+    # -c then -S: both write the reference's single set_speed variable,
+    # so the LAST one (-S 25) wins (gpx2tiles.c:936-937,962)
+    assert cfg.speed_mode == "data" and cfg.forced_speed_kph == 25.0
+    assert cfg.fixed_color == 0xFF8800  # fixclr stays stored, inactive
     assert cfg.point_circle_diameter == 11
     assert (cfg.z_no_lines, cfg.z_no_wpts) == (9, 14)
     assert run["verbose"] == 1
     assert files == ["a.gpx", "b.gpx"]
     with pytest.raises(SystemExit):
         parse_args(["-Z", "25"])  # beyond ZOOM_MAX_HARD, like :983-987
+
+
+def test_c_after_S_wins():
+    """Reverse order: -S 30 then -c ff0000 → fixed color active."""
+    cfg, _, _ = parse_args(["-S", "30", "-c", "ff0000", "a.gpx"])
+    assert cfg.speed_mode == "fixed" and cfg.fixed_color == 0xFF0000
+    assert cfg.forced_speed_kph is None
+
+
+def test_gpx_file_source_relative_paths(spark, tmp_path, monkeypatch):
+    """Relative argv paths (the documented drop-in usage run from a data
+    dir) must resolve against binaryFile's absolute URIs — no NULL
+    doc_ids, painter order preserved."""
+    from gpx2tiles_spark.sources.gpxfiles import read_gpx_file_list
+
+    xml = ('<gpx><trk><trkseg><trkpt lat="48.0" lon="8.0">'
+           "<time>2016-06-25T10:00:01Z</time></trkpt></trkseg></trk></gpx>")
+    (tmp_path / "rel.gpx").write_text(xml)
+    monkeypatch.chdir(tmp_path)
+    rows = read_gpx_file_list(spark, ["rel.gpx"]).collect()
+    assert len(rows) == 1
+    assert rows[0].doc_id is not None
+    assert rows[0].doc_id.startswith("00000000:")
+    assert rows[0].doc_id.endswith("rel.gpx")
+
+
+def test_gpx_file_source_duplicate_path_draws_twice(spark, tmp_path):
+    """The reference accepts the same file twice on argv and draws it
+    twice; the source replicates the doc with both list indices."""
+    from gpx2tiles_spark.sources.gpxfiles import read_gpx_file_list
+
+    xml = ('<gpx><trk><trkseg><trkpt lat="48.0" lon="8.0">'
+           "<time>2016-06-25T10:00:01Z</time></trkpt></trkseg></trk></gpx>")
+    p = tmp_path / "dup.gpx"
+    p.write_text(xml)
+    rows = read_gpx_file_list(spark, [str(p), str(p)]).collect()
+    ids = sorted(r.doc_id for r in rows)
+    assert len(ids) == 2
+    assert ids[0].startswith("00000000:") and ids[1].startswith("00000001:")
+    assert ids[0].endswith("dup.gpx") and ids[1].endswith("dup.gpx")
 
 
 def test_gpx_file_source_matches_spans_table(spark):
