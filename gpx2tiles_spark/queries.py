@@ -1638,10 +1638,13 @@ def multimodal_comparable(spark, sf_dir) -> DataFrame:
 
 @register("multimodal_features", _golden_oracle_sql("multimodal_golden_current"))
 def q_multimodal(spark, sf_dir):
-    """Fake-decoder features with a GOLDEN-PARQUET oracle: the decoder is
-    deterministic (md5-seeded Philox), so its output is committed once
-    (tests/golden/) and any drift in the decode/pool/feature plumbing
-    flips the oracle red."""
+    """REAL-PNG-decoder features with a GOLDEN-PARQUET oracle: the media
+    payloads are genuine RGBA PNGs (synthesized deterministically from
+    the media_ref) and the luma/feature columns come from actually
+    decoding them with the repo's own codec (pngcodec.decode_png).  The
+    whole encode→decode→pool chain is deterministic, so its output is
+    committed once (tests/golden/) and any drift in the codec, decode
+    routing or pooling flips the oracle red."""
     n = _sf_n_docs(sf_dir)
     _relink_golden("multimodal_golden_current",
                    os.path.join(_GOLDEN_DIR, f"multimodal_features_n{n}.parquet"))
@@ -1651,8 +1654,12 @@ def q_multimodal(spark, sf_dir):
 @register("multimodal_meta", """
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, 0 AS span_idx,
          'media://' || md5(text) AS media_ref,
-         'image' AS media_kind,
-         CAST(length('media://' || md5(text)) AS INT) AS n_bytes,
+         'png' AS media_kind,
+         -- n_bytes of a level-0 (stored-deflate) RGBA PNG is closed-form:
+         -- 68 framing bytes + height*(1 + 4*width) raw scanline bytes
+         -- (multimodal.synth_png_len)
+         CAST(68 + ((doc_id * 7 + 3) % 64 + 16)
+                  * (1 + 4 * (doc_id % 64 + 16)) AS INT) AS n_bytes,
          CAST(doc_id % 64 + 16 AS INT) AS width,
          CAST((doc_id * 7 + 3) % 64 + 16 AS INT) AS height
   FROM documents WHERE doc_id % 3 = 0
@@ -1660,10 +1667,12 @@ def q_multimodal(spark, sf_dir):
 def q_multimodal_meta(spark, sf_dir):
     """Multimodal metadata path with a full oracle: the media table is
     derived from the flat driver documents table with SQL-expressible
-    arithmetic, runs through the REAL mapInPandas decode+extract stub, and
-    the deterministic metadata columns round-trip exactly.  (mean_luma and
-    the feature vector come from the md5-seeded fake decoder — not
-    SQL-able; they are exercised by multimodal_features and pytest.)"""
+    arithmetic, the payload is a REAL synthesized PNG, and the features
+    run through the REAL mapInPandas PNG decode — n_bytes counts the
+    actual container bytes (closed-form for level-0 PNGs), so a decoder
+    or encoder drift flips this oracle red.  (mean_luma and the feature
+    vector are pixel-derived — not SQL-able; they are hash-checked by
+    multimodal_features' golden oracle and pytest.)"""
     from .operators.multimodal import media_features, media_table_from_flat_docs
     media = media_table_from_flat_docs(_t(spark, sf_dir, "documents"))
     feats = media_features(media)
