@@ -218,25 +218,82 @@ def _ivf_assign(df: DataFrame, vec_col: str, id_col: str,
     return df.select(id_col, vec_col).mapInPandas(gen, out_schema)
 
 
+def _seed_centroids(vectors: DataFrame, n_cells: int,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> list[list[float]]:
+    """Deterministic seed: the first ``n_cells`` vectors by id."""
+    cents = (vectors.filter(F.col(id_col) < n_cells)
+             .orderBy(id_col).collect())
+    return [list(map(float, r[vec_col])) for r in cents]
+
+
+def kmeans_centroids(vectors: DataFrame, n_cells: int = 16,
+                     n_iter: int = 3, vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> list[list[float]]:
+    """Spherical k-means coarse quantizer for IVF: a few Lloyd
+    iterations, fully distributed.
+
+    - Seed = the first ``n_cells`` vectors by id (the previous
+      deterministic quantizer — so iteration 0 reproduces it exactly).
+    - Assignment = ``_ivf_assign`` (ONE Arrow-batched numpy pass per
+      iteration, max-cosine cell, ties → lowest cell).
+    - Update = per-cell mean via posexplode + partial-aggregated
+      groupBy((cell, d)) — map-side combine does the heavy summing and
+      the driver only ever sees n_cells × dim summary rows, so the
+      update is a broadcast-sized collect at any corpus scale.
+    - Empty cells keep their previous centroid (no respawn — keeps the
+      procedure deterministic).
+    - Means are NOT re-normalized: cos(v, c) is scale-invariant in c,
+      so the mean direction is all that matters.
+
+    The converged centroids are DATA, not SQL — callers that need a
+    DuckDB oracle materialize them (queries.q_ann_ivf writes them to
+    .oracle_cache/ and the oracle reads them back), which keeps the
+    assignment/probe/re-rank chain fully hash-checked while the
+    quantizer itself is a real clustering."""
+    centroids = _seed_centroids(vectors, n_cells, vec_col, id_col)
+    dim = len(centroids[0])
+    for _ in range(n_iter):
+        assign = _ivf_assign(vectors, vec_col, id_col, centroids, 1)
+        stats = (assign.select("cell", F.posexplode(vec_col).alias("d", "v"))
+                 .groupBy("cell", "d")
+                 .agg(F.sum(F.col("v").cast("double")).alias("s"),
+                      F.count("*").alias("n"))
+                 .collect())
+        sums: dict[tuple[int, int], float] = {}
+        counts: dict[int, int] = {}
+        for r in stats:
+            sums[(r.cell, r.d)] = float(r.s)
+            counts[r.cell] = int(r.n)
+        centroids = [
+            [sums[(c, d)] / counts[c] for d in range(dim)]
+            if counts.get(c) else old
+            for c, old in enumerate(centroids)]
+    return centroids
+
+
 def cosine_topk_ivf(vectors: DataFrame, queries: DataFrame, k: int = 10,
-                    n_cells: int = 16, n_probe: int = 4) -> DataFrame:
+                    n_cells: int = 16, n_probe: int = 4,
+                    centroids: list[list[float]] | None = None,
+                    kmeans_iters: int = 0) -> DataFrame:
     """IVF (inverted-file) ANN — the cell-partitioned scale path.
 
-    Coarse quantizer: the first ``n_cells`` vectors (vec_id < n_cells)
-    serve as centroids — deterministic and reproducible with no stored
-    index state, which is what makes the whole operator SQL-oracle-able;
-    a production deployment swaps k-means centroids in, the assign /
-    probe / re-rank plumbing is identical.  Every vector lands in its
-    max-cosine cell (an inverted list keyed by ``cell`` — at 10^9+
-    vectors this is a partition key, so a probe touches n_probe/n_cells
-    of the corpus instead of all of it); each query probes its
-    ``n_probe`` nearest cells and exact cosine re-ranks inside them.
-    Cells are balanced in expectation; a degenerate corpus (all vectors
-    in one cell) degrades to brute force over that cell, never worse.
+    Coarse quantizer: explicit ``centroids`` if given; else
+    ``kmeans_iters`` Lloyd iterations (:func:`kmeans_centroids` — real
+    clustering, deterministically seeded); else the first ``n_cells``
+    vectors (vec_id < n_cells) — the zero-state quantizer that keeps
+    the whole operator SQL-oracle-able with no materialized index.
+    Every vector lands in its max-cosine cell (an inverted list keyed
+    by ``cell`` — at 10^9+ vectors this is a partition key, so a probe
+    touches n_probe/n_cells of the corpus instead of all of it); each
+    query probes its ``n_probe`` nearest cells and exact cosine
+    re-ranks inside them.  A degenerate corpus (all vectors in one
+    cell) degrades to brute force over that cell, never worse.
     """
-    cents = (vectors.filter(F.col("vec_id") < n_cells)
-             .orderBy("vec_id").collect())
-    centroids = [list(r.embedding) for r in cents]
+    if centroids is None:
+        centroids = (kmeans_centroids(vectors, n_cells, kmeans_iters)
+                     if kmeans_iters > 0
+                     else _seed_centroids(vectors, n_cells))
     v = _ivf_assign(vectors, "embedding", "vec_id", centroids, 1)
     q = _ivf_assign(queries, "q_embedding", "qid", centroids, n_probe)
     cand = (

@@ -659,7 +659,8 @@ def tiles_to_pixels(tiles: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def doc_salt_boundaries(events: DataFrame, buckets: int,
-                        target_sample: int = 10_000) -> list[str]:
+                        target_sample: int = 10_000,
+                        est_count: float | None = None) -> list[str]:
     """Order-preserving salt boundaries over doc_id from a pure Bernoulli
     sample sized off a count: every partition contributes proportionally,
     so boundaries reflect the whole doc_id range (a sample().limit()
@@ -668,11 +669,16 @@ def doc_salt_boundaries(events: DataFrame, buckets: int,
     exists to fix).  The driver sees ~target_sample·buckets ids.
     Row-frequency weighting is a feature — boundaries land where the
     events are, balancing bucket LOAD, and boundaries only affect load
-    balance, never correctness (contiguous ranges either way)."""
-    cnt = events.count()
-    if cnt == 0:
+    balance, never correctness (contiguous ranges either way).
+
+    ``est_count``: caller-supplied row-count estimate (e.g. scaled up
+    from a detection sample) — sizing the Bernoulli fraction is its only
+    use, so an estimate is as good as the exact figure and skips a full
+    extra pass over the un-persisted event relation."""
+    cnt = float(events.count() if est_count is None else est_count)
+    if cnt <= 0:
         return []
-    frac = min(1.0, float(target_sample * buckets) / float(cnt))
+    frac = min(1.0, float(target_sample * buckets) / cnt)
     rows = events.select("doc_id").sample(False, frac, seed=7).collect()
     ids = sorted({r.doc_id for r in rows})
     if len(ids) < buckets:
@@ -711,13 +717,23 @@ def rasterize_salted(events: DataFrame, cfg: EngineConfig) -> DataFrame:
     # the boundary sampling pass is skipped entirely.
     det_frac = min(1.0, max(cfg.hot_detect_fraction, 1e-6))
     sampled = events if det_frac >= 1.0 else events.sample(False, det_frac, seed=13)
-    hot_rows = (sampled.groupBy("z", "tx", "ty").count()
-                .filter(F.col("count") > cfg.hot_tile_threshold * det_frac)
-                .select("z", "tx", "ty").collect())
+    # rollup instead of groupBy: the grand-total row rides along in the
+    # SAME aggregation pass, giving the event-count estimate the salt
+    # boundary sampler needs — the r03 plan paid a third full pass
+    # (events.count()) for that number.  The filter keeps only full
+    # (z,tx,ty) rows over the threshold plus the all-null total row, so
+    # the collect stays bounded.
+    det = (sampled.rollup("z", "tx", "ty").count()
+           .filter(((F.col("count") > cfg.hot_tile_threshold * det_frac)
+                    & F.col("ty").isNotNull())
+                   | F.col("z").isNull()).collect())
+    total_sampled = next((r["count"] for r in det if r["z"] is None), 0)
+    hot_rows = [r for r in det if r["z"] is not None and r["ty"] is not None]
     if not hot_rows:
         return _rasterize_partitions(events, cfg)
 
-    bounds = doc_salt_boundaries(events, buckets)
+    bounds = doc_salt_boundaries(events, buckets,
+                                 est_count=total_sampled / det_frac)
     if not bounds:
         return _rasterize_partitions(events, cfg)
 

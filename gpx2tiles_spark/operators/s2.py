@@ -135,12 +135,21 @@ def s2_parent(cell_id: Column | np.ndarray, level: int,
 
 
 def s2_cell_col(lat: Column, lon: Column, level: int = 12) -> Column:
-    """Arrow-batched S2 encode as a Column expression (pandas_udf)."""
+    """Arrow-batched S2 encode as a Column expression (pandas_udf).
+
+    Marked non-deterministic ON PURPOSE (the function itself is pure):
+    it stops Catalyst duplicating the UDF — with a deterministic mark,
+    the inferred ``isnotnull(join key)`` constraint of an equi-join on
+    the cell is pushed below the projection with the UDF's arguments
+    inlined, materializing a SECOND ArrowEvalPython pass per join side
+    (the round-3 plan wart in docs/PLANS.md).  Non-deterministic
+    expressions are never collapsed into or pushed through projections,
+    so the encode runs exactly once per side."""
     @F.pandas_udf(LongType())
     def _enc(la: pd.Series, lo: pd.Series) -> pd.Series:
         return pd.Series(s2_cell_id(la.to_numpy(np.float64),
                                     lo.to_numpy(np.float64), level))
-    return _enc(lat, lon)
+    return _enc.asNondeterministic()(lat, lon)
 
 
 def with_s2_cell(df: DataFrame, level: int = 12,

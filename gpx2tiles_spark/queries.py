@@ -1546,7 +1546,7 @@ _IVF_SQL = """
            unnest(list_transform(generate_series(1, len(embedding)),
                                  i -> CAST(embedding[i] AS DOUBLE))) AS v
     FROM embeddings),
-  cent AS (SELECT CAST(vec_id AS INT) AS cell, d, v FROM pos WHERE vec_id < 16),
+  cent AS (SELECT cell, d, v FROM read_parquet('{IVF_CENTS_GLOB}')),
   norms AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM pos GROUP BY 1),
   cnorm AS (SELECT cell, SQRT(SUM(v * v)) AS cn FROM cent GROUP BY 1),
   cdot AS (
@@ -1594,20 +1594,43 @@ _IVF_SQL = """
 """
 
 
+# The oracle's centroid table is the CONVERGED K-MEANS OUTPUT, written
+# to the oracle cache by q_ann_ivf (centroids are data, not SQL — the
+# Lloyd iterations live Spark-side in ann.kmeans_centroids; assignment,
+# probe and re-rank stay fully re-derived in SQL from those values).
+_IVF_SQL = _IVF_SQL.replace(
+    "{IVF_CENTS_GLOB}",
+    os.path.join(_ORACLE_CACHE, "ivf_cents_current", "*.parquet"))
+
+
 @register("ann_ivf", _IVF_SQL)
 def q_ann_ivf(spark, sf_dir):
-    """IVF ANN with a FULL oracle: the deterministic coarse quantizer
-    (first-16-vectors centroids), max-cosine cell assignment (inverted
-    lists), 4-cell query probe and exact cosine re-rank are all
-    re-derived in DuckDB SQL — the cell-partitioned counterpart of
-    `ann_lsh` (IVF is the assignment's explicitly-named scale path:
-    `cell` is a partition key, a probe touches n_probe/n_cells of the
-    corpus)."""
+    """IVF ANN with a FULL oracle and a REAL coarse quantizer: 3
+    distributed spherical-k-means Lloyd iterations (seeded with the
+    first 16 vectors — the round-3 zero-state quantizer is now just the
+    seed), then max-cosine cell assignment (inverted lists), 4-cell
+    query probe and exact cosine re-rank.  The converged centroids are
+    materialized to .oracle_cache/ivf_cents_current and the DuckDB
+    oracle re-derives the whole assign/probe/re-rank chain from those
+    same values — the quantizer is clustering, the index math stays
+    hash-checked.  The cell-partitioned counterpart of `ann_lsh` (IVF
+    is the assignment's explicitly-named scale path: `cell` is a
+    partition key, a probe touches n_probe/n_cells of the corpus)."""
     emb = _t(spark, sf_dir, "embeddings")
+    cents = ann.kmeans_centroids(emb.select("vec_id", "embedding"),
+                                 n_cells=16, n_iter=3)
+    n = _sf_n_docs(sf_dir)
+    path = os.path.join(_ORACLE_CACHE, f"ivf_cents_n{n}.parquet")
+    rows = [(c, d, v) for c, cent in enumerate(cents)
+            for d, v in enumerate(cent)]
+    spark.createDataFrame(rows, "cell int, d int, v double") \
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    _relink(os.path.join(_ORACLE_CACHE, "ivf_cents_current"),
+            f"ivf_cents_n{n}.parquet")
     qs = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("q_embedding"))
     return ann.cosine_topk_ivf(emb.select("vec_id", "embedding"), qs,
-                               k=10, n_cells=16, n_probe=4)
+                               k=10, n_cells=16, n_probe=4, centroids=cents)
 
 
 @register("ann_lsh", _ANN_LSH_SQL)
@@ -1893,6 +1916,61 @@ def q_streaming_windowed_counts(spark, sf_dir):
         .alias("win_start_s"), "tx", "ty", "point_cnt").persist())
     out.count()
     return out
+
+
+_ASOF_SQL = f"""
+  WITH pts AS (
+    SELECT doc_id, kind, lat, lon
+    FROM read_parquet('{os.path.join(_ORACLE_CACHE, "points_current",
+                                     "*.parquet")}')),
+  docs2 AS (SELECT DISTINCT doc_id FROM pts),
+  ranked AS (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn,
+           COUNT(*) OVER () AS nd
+    FROM docs2),
+  firsthalf AS (
+    SELECT doc_id FROM ranked
+    WHERE rn <= CAST(FLOOR((nd + 1) / 2.0) AS BIGINT)),
+  zs AS (SELECT CAST(unnest(generate_series(1, 6)) AS INT) AS z)
+  SELECT z,
+         CAST(FLOOR(((lon + 180.0) / 360.0) * POW(2.0, z)) AS INT) AS tx,
+         CAST(FLOOR(((1.0 - LN(TAN(RADIANS(lat)) + 1.0/COS(RADIANS(lat)))
+              / PI()) / 2.0) * POW(2.0, z)) AS INT) AS ty,
+         COUNT(*) AS point_cnt
+  FROM pts JOIN firsthalf USING (doc_id), zs WHERE kind = 'trkpt'
+  GROUP BY 1, 2, 3
+"""
+
+
+@register("store_as_of", _ASOF_SQL)
+def q_store_as_of(spark, sf_dir):
+    """Snapshot time travel as a FULL oracle row (landed round 3 with
+    pytest only): two doc-range batches commit delta snapshots, then
+    ``as_of(first snapshot id)`` reads the state as of batch 1 — which
+    must equal batch 1's stamp pyramid, re-derived in SQL from the
+    cached points restricted to the FIRST HALF of the doc ids (the same
+    deterministic cut the Spark side applies; zooms 1-6 sit below
+    z_no_lines so the tile set is exactly the stamp relation).  The
+    second committed snapshot existing and NOT contributing is the
+    property under test."""
+    import tempfile
+
+    from .config import EngineConfig
+    from .streaming.incremental import TileStore
+
+    _points_cache(spark, sf_dir)
+    n = _sf_n_docs(sf_dir)
+    cut = f"doc{(n + 1) // 2:08d}"
+    docs = _sf_docs(spark, sf_dir)
+    cfg = EngineConfig(zoom_min=1, zoom_max=6)
+    with tempfile.TemporaryDirectory() as d:
+        store = TileStore(spark, d)
+        e1 = store.apply_batch("b0", docs.filter(F.col("doc_id") < cut), cfg)
+        store.apply_batch("b1", docs.filter(F.col("doc_id") >= cut), cfg)
+        first = store.as_of(e1["id"]) \
+            .select("z", "tx", "ty", "point_cnt").persist()
+        first.count()
+        return first
 
 
 @register("incremental_store", _INCR_SQL)

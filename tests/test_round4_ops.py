@@ -67,3 +67,82 @@ def test_media_features_nonpng_uses_declared_fake(spark):
         MEDIA_SCHEMA)
     row = media_features(media).collect()[0]
     assert 0 <= row.mean_luma_milli <= 255_000
+
+
+def test_kmeans_centroids_balance_and_recall(spark):
+    """Real Lloyd iterations must (a) move off the first-n seed, (b)
+    balance cells on a clustered corpus (max/mean bounded), and (c) keep
+    the IVF top-k exact when the probe covers the clusters."""
+    import numpy as np
+    from gpx2tiles_spark.operators import ann
+
+    rng = np.random.default_rng(42)
+    n_clusters, per, dim = 8, 40, 16
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    # first 8 ids: one noisy member per cluster (realistic seeding)
+    for c in range(n_clusters):
+        v = centers[c] + rng.normal(0, 0.25, dim)
+        rows.append((vid, [float(x) for x in v])); vid += 1
+    for c in range(n_clusters):
+        for _ in range(per - 1):
+            v = centers[c] + rng.normal(0, 0.15, dim)
+            rows.append((vid, [float(x) for x in v])); vid += 1
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    seed = ann._seed_centroids(vecs, n_clusters)
+    cents = ann.kmeans_centroids(vecs, n_cells=n_clusters, n_iter=4)
+    assert cents != seed  # Lloyd actually updated
+
+    from pyspark.sql import functions as F
+    sizes = {r.cell: r.n for r in
+             ann._ivf_assign(vecs, "embedding", "vec_id", cents, 1)
+             .groupBy("cell").agg(F.count("*").alias("n"))
+             .collect()}
+    mean = sum(sizes.values()) / n_clusters
+    assert max(sizes.values()) <= 2.0 * mean, sizes
+    assert len(sizes) == n_clusters  # no empty cells on this corpus
+
+    # recall: k-means IVF with a full probe == brute force
+    qs = vecs.filter("vec_id < 2").selectExpr(
+        "vec_id AS qid", "embedding AS q_embedding")
+    got = {(r.qid, r.rnk): r.vec_id for r in ann.cosine_topk_ivf(
+        vecs, qs, k=5, n_cells=n_clusters, n_probe=n_clusters,
+        centroids=cents).collect()}
+    want = {(r.qid, r.rnk): r.vec_id for r in
+            ann.cosine_topk_bruteforce(vecs, qs, k=5).collect()}
+    assert got == want
+
+
+def test_glyph_table_checksums_pinned():
+    """Drift guard + provenance record for the -d4 6x13 glyph table:
+    the exact row bytes are pinned by checksum so any edit is a
+    deliberate, reviewable change.  TRUE parity against the public X11
+    misc-fixed 6x13 BDF is scripted in tools/check_glyphs_bdf.py — the
+    container ships neither libgd nor the BDF, so it runs out-of-band;
+    these hashes are the values an external check verifies against."""
+    import hashlib
+    from gpx2tiles_spark.draw import _FONT_6x13, FONT_H
+
+    pinned = {
+        ".": "9f369643a7468725",
+        "0": "060c39ff4def2677",
+        "1": "4e0e0145b0540495",
+        "2": "1436b67e916c5f8d",
+        "3": "f16d0a5f94ac3f4c",
+        "4": "bc7abd19d7c449db",
+        "5": "9a98634835e101c4",
+        "6": "9c40ec0b2b756c25",
+        "7": "2a23adca71818adf",
+        "8": "98124edf150e6384",
+        "9": "b6100eaf387290cd",
+    }
+    assert set(_FONT_6x13) == set(pinned)  # full "%.1f" charset
+    for ch, rows in _FONT_6x13.items():
+        assert len(rows) == FONT_H
+        assert all(0 <= r <= 0xFC and (r & 0x03) == 0 for r in rows), \
+            f"{ch!r}: bits outside the 6-wide cell"
+        got = hashlib.sha256(bytes(rows)).hexdigest()[:16]
+        assert got == pinned[ch], f"glyph {ch!r} drifted"

@@ -128,3 +128,14 @@ def test_s2_join_query_nearest_poi(spark):
     for pid, poi in hit:
         if pid in rows:          # same cell by construction (distance 0)
             assert rows[pid] == poi
+
+
+def test_s2_join_single_arrow_eval_per_side(spark):
+    """Round-4 plan assertion: the S2 encode UDF materializes exactly
+    ONCE per join side (the round-3 wart doubled it via the inferred
+    isnotnull join-key constraint inlining the UDF args)."""
+    from gpx2tiles_spark.queries import queries
+
+    df = queries()["s2_join_l3"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 2, plan

@@ -35,3 +35,38 @@ def test_salted_equals_unsalted(spark):
             n_multi += 1
     assert n_multi > 0  # the test actually exercised multi-doc merges
     ev.unpersist()
+
+
+def test_salted_planning_skips_full_count_pass(spark, monkeypatch):
+    """Round 4: building the salted plan makes exactly TWO passes over
+    the event relation — hot-tile detection (whose rollup grand-total
+    row carries the count estimate in the same pass) and boundary
+    sampling.  r03 paid a third full pass (events.count()) just to size
+    the Bernoulli fraction; assert count() is never called during
+    planning, plus a job bound (detect collect = 2 AQE stage jobs,
+    sample collect = 1)."""
+    from pyspark.sql import DataFrame
+
+    cfg = EngineConfig(zoom_min=1, zoom_max=8, salt_buckets=4,
+                       hot_tile_threshold=10, hot_detect_fraction=1.0)
+    docs = generate_documents(spark, 16, partitions=4).cache()
+    ev = build_events(parse_documents(docs), cfg).persist()
+    ev.count()
+
+    calls = []
+    real_count = DataFrame.count
+    monkeypatch.setattr(DataFrame, "count",
+                        lambda self: calls.append(1) or real_count(self))
+    sc = spark.sparkContext
+    group = "salt-planning-probe"
+    sc.setJobGroup(group, "salt planning", False)
+    try:
+        df = rasterize_salted(ev, cfg)  # lazy result; eager planning jobs
+    finally:
+        sc.setJobGroup(None, None, False)
+    assert not calls, "planning ran DataFrame.count() — extra full pass"
+    jobs = sc.statusTracker().getJobIdsForGroup(group)
+    assert len(jobs) <= 3, f"expected ≤3 planning jobs, saw {len(jobs)}"
+    assert df.schema is not None  # plan built, fold not yet run
+    ev.unpersist()
+    docs.unpersist()
