@@ -1,20 +1,28 @@
 """Multimodal column plumbing: media spans as opaque binary + typed
 metadata, with Arrow-batched decode + feature extraction.
 
-The *decode* step is REAL for PNG payloads: the synthetic corpus's media
-objects are genuine RGBA PNGs (``synth_png``, built with the repo's own
-pure-stdlib codec in ``pngcodec.py``) and ``media_features`` routes
-``media_kind == 'png'`` through ``pngcodec.decode_png`` — the luma plane
-and pooled features come from actually-decoded pixels.  Only kinds with
-no in-container codec (jpeg/audio/video) fall back to the clearly-marked
-deterministic stand-in ``_fake_decode``; swapping that for PIL/ffmpeg is
-a one-function change on the executors.
+The *decode* step is REAL for three media kinds, all via pure-stdlib
+parsers shipped in this repo:
 
-Synthetic payloads are encoded at deflate level 0 (stored blocks), so
-the byte length is closed-form — ``68 + height + 4*width*height`` for
-any tile smaller than one 64 KiB deflate block — which keeps the
-``multimodal_meta`` n_bytes column expressible in the DuckDB oracle SQL
-even though the payload itself is a real compressed container format.
+  png    — genuine RGBA PNGs (``synth_png`` via ``pngcodec``), decoded
+           with ``pngcodec.decode_png``; luma/features come from
+           actually-decoded pixels (Rec. 601).
+  wav    — genuine RIFF/WAVE 16-bit PCM mono containers, chunk-walked
+           by ``decode_wav``; the feature plane is the real amplitude.
+  pngseq — a frame-sequence video stand-in whose every SAMPLED frame
+           is really PNG-decoded (``decode_pngseq_frames`` — skipped
+           frames are never decompressed, the point of frame sampling
+           at scale).
+
+Only kinds with no in-container codec (jpeg/mp3/mp4) fall back to the
+clearly-marked deterministic stand-in ``_fake_decode``; swapping that
+for PIL/ffmpeg is a one-function change on the executors.
+
+Synthetic payloads have CLOSED-FORM byte lengths (PNG at deflate level
+0: ``68 + height*(1 + 4*width)``; WAV: ``44 + 2*n_samples``; pngseq:
+``4 + n_frames*(4 + png_len)``), which keeps the ``multimodal_meta`` /
+``multimodal_av_meta`` n_bytes columns expressible in DuckDB oracle SQL
+even though the payloads are real container formats.
 """
 
 from __future__ import annotations
@@ -77,6 +85,92 @@ def synth_png_len(width: int, height: int) -> int:
     return 68 + raw
 
 
+def synth_wav(seed_bytes: bytes, n_samples: int, rate: int = 8000) -> bytes:
+    """Deterministic synthetic audio object: a real RIFF/WAVE container
+    (16-bit PCM mono) of md5-seeded Philox noise.  Byte length is
+    closed-form: 44 header bytes + 2 per sample."""
+    import struct
+
+    seed = int.from_bytes(hashlib.md5(seed_bytes).digest()[:8], "big")
+    rng = np.random.default_rng(np.random.Philox(key=seed ^ 0xA0D10))
+    pcm = rng.integers(-32768, 32768, size=n_samples, dtype=np.int16)
+    data = pcm.tobytes()
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+           + b"data" + struct.pack("<I", len(data)))
+    return hdr + data
+
+
+def synth_wav_len(n_samples: int) -> int:
+    return 44 + 2 * n_samples
+
+
+def decode_wav(data: bytes) -> np.ndarray:
+    """RIFF/WAVE (16-bit PCM mono) → int16 sample array.  Walks the
+    chunk list like a real parser — fmt validated, data extracted."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos = 12
+    fmt = None
+    samples = None
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        (ln,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8:pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)
+        if tag == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif tag == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+    if fmt is None or samples is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if fmt[0] != 1 or fmt[1] != 1 or fmt[5] != 16:
+        raise ValueError("unsupported WAV (need 16-bit PCM mono)")
+    return samples
+
+
+def synth_pngseq(seed_bytes: bytes, width: int, height: int,
+                 n_frames: int) -> bytes:
+    """Deterministic synthetic video stand-in: a trivial container of
+    ``n_frames`` REAL PNGs — u32 frame count, then per frame a u32
+    length + the PNG bytes.  (The container format is this repo's own —
+    the point is the Spark-side plumbing plus genuinely decoding every
+    sampled frame; a production deployment swaps an mp4 demuxer in.)
+    Byte length is closed-form: 4 + n_frames*(4 + synth_png_len)."""
+    import struct
+
+    out = [struct.pack("<I", n_frames)]
+    for fi in range(n_frames):
+        png = synth_png(seed_bytes + b"|frame%d" % fi, width, height)
+        out.append(struct.pack("<I", len(png)))
+        out.append(png)
+    return b"".join(out)
+
+
+def synth_pngseq_len(width: int, height: int, n_frames: int) -> int:
+    return 4 + n_frames * (4 + synth_png_len(width, height))
+
+
+def decode_pngseq_frames(data: bytes, every: int = 1) -> list[np.ndarray]:
+    """Container → RGBA frames, decoding every ``every``-th frame (frame
+    sampling — the frames skipped are never decompressed, which is the
+    whole point of sampling at scale)."""
+    import struct
+
+    (n,) = struct.unpack_from("<I", data, 0)
+    pos = 4
+    frames = []
+    for fi in range(n):
+        (ln,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        if fi % every == 0:
+            frames.append(decode_png(data[pos:pos + ln]))
+        pos += ln
+    return frames
+
+
 def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
     """STUB: deterministic stand-in for media kinds with no in-container
     codec (jpeg/audio frames/video stills).
@@ -92,8 +186,18 @@ def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
 
 def decode_luma(payload: bytes, media_kind: str,
                 width: int, height: int) -> np.ndarray:
-    """payload → (h, w) float64 luma plane.  PNG: real decode via the
-    repo codec + Rec. 601 luma.  Other kinds: the declared fake."""
+    """payload → (h, w) float64 intensity plane in [0, 255].
+
+    REAL decoders (all pure-stdlib, shipped in this repo):
+      png    — pngcodec.decode_png + Rec. 601 luma
+      wav    — RIFF 16-bit PCM parse; the (1, n_samples) plane is the
+               amplitude mapped linearly to 0..255 (metadata: width =
+               n_samples, height = 1)
+      pngseq — frame-sampled video stand-in: every 2nd frame is really
+               PNG-decoded, the plane is the mean luma across sampled
+               frames
+    Kinds with no in-container codec (jpeg/mp3/mp4) fall back to the
+    declared fake."""
     if media_kind == "png":
         rgba = decode_png(bytes(payload))
         if rgba.shape[:2] != (height, width):
@@ -101,6 +205,20 @@ def decode_luma(payload: bytes, media_kind: str,
                 f"decoded PNG is {rgba.shape[1]}x{rgba.shape[0]}, "
                 f"metadata says {width}x{height}")
         return rgba[..., :3].astype(np.float64) @ _LUMA_W
+    if media_kind == "wav":
+        samples = decode_wav(bytes(payload))
+        if len(samples) != width or height != 1:
+            raise ValueError(
+                f"decoded WAV has {len(samples)} samples, "
+                f"metadata says {width}x{height}")
+        return ((samples.astype(np.float64) + 32768.0)
+                / 65535.0 * 255.0).reshape(1, width)
+    if media_kind == "pngseq":
+        frames = decode_pngseq_frames(bytes(payload), every=2)
+        if not frames or frames[0].shape[:2] != (height, width):
+            raise ValueError("decoded frame size mismatches metadata")
+        lumas = [f[..., :3].astype(np.float64) @ _LUMA_W for f in frames]
+        return np.mean(lumas, axis=0)
     return _fake_decode(bytes(payload), width, height).astype(np.float64)
 
 
@@ -154,6 +272,55 @@ def media_table_from_flat_docs(documents: DataFrame) -> DataFrame:
     return sized.select(
         "doc_id", "span_idx", "media_ref",
         _synth_png_udf("media_ref", "width", "height").alias("payload"),
+        "media_kind", "width", "height")
+
+
+@F.pandas_udf(T.BinaryType())
+def _synth_av_udf(kind: pd.Series, ref: pd.Series, w: pd.Series,
+                  h: pd.Series, nf: pd.Series) -> pd.Series:
+    out = []
+    for k, r, wi, hi, f in zip(kind, ref, w, h, nf):
+        if k == "wav":
+            out.append(synth_wav(r.encode("utf-8"), int(wi)))
+        elif k == "pngseq":
+            out.append(synth_pngseq(r.encode("utf-8"), int(wi), int(hi),
+                                    int(f)))
+        else:
+            out.append(synth_png(r.encode("utf-8"), int(wi), int(hi)))
+    return pd.Series(out, dtype=object)
+
+
+def media_table_av_from_flat_docs(documents: DataFrame) -> DataFrame:
+    """Audio + video MEDIA_SCHEMA table from a flat documents table:
+    every 4th document owns a real WAV (16-bit PCM mono; width =
+    n_samples, height = 1), every 4th+1 a real PNG frame sequence
+    (width/height = frame dims).  All metadata arithmetic — including
+    n_bytes, thanks to the closed-form container sizes — is
+    SQL-expressible, so the whole A/V decode path has an exact DuckDB
+    metadata oracle (the pixel/sample-derived stats are pytest-covered:
+    they come from genuinely parsed containers)."""
+    base = documents.select("doc_id", F.md5("text").alias("h"))
+    wav = base.filter(F.col("doc_id") % 4 == 0).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit(0).alias("span_idx"),
+        F.concat(F.lit("media://wav/"), F.col("h")).alias("media_ref"),
+        F.lit("wav").alias("media_kind"),
+        (F.col("doc_id") % 4000 + 1000).cast("int").alias("width"),
+        F.lit(1).alias("height"),
+        F.lit(1).alias("n_frames"))
+    seq = base.filter(F.col("doc_id") % 4 == 1).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit(1).alias("span_idx"),
+        F.concat(F.lit("media://seq/"), F.col("h")).alias("media_ref"),
+        F.lit("pngseq").alias("media_kind"),
+        (F.col("doc_id") % 32 + 16).cast("int").alias("width"),
+        ((F.col("doc_id") * 5 + 7) % 32 + 16).cast("int").alias("height"),
+        (F.col("doc_id") % 6 + 2).cast("int").alias("n_frames"))
+    sized = wav.unionByName(seq)
+    return sized.select(
+        "doc_id", "span_idx", "media_ref",
+        _synth_av_udf("media_kind", "media_ref", "width", "height",
+                      "n_frames").alias("payload"),
         "media_kind", "width", "height")
 
 

@@ -1703,6 +1703,44 @@ def q_multimodal_meta(spark, sf_dir):
                         "n_bytes", "width", "height")
 
 
+@register("multimodal_av_meta", """
+  WITH base AS (SELECT doc_id, md5(text) AS h FROM documents),
+  wav AS (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, 0 AS span_idx,
+           'media://wav/' || h AS media_ref, 'wav' AS media_kind,
+           -- RIFF/WAVE 16-bit PCM mono: 44 header bytes + 2 per sample
+           CAST(44 + 2 * (doc_id % 4000 + 1000) AS INT) AS n_bytes,
+           CAST(doc_id % 4000 + 1000 AS INT) AS width, 1 AS height
+    FROM base WHERE doc_id % 4 = 0),
+  seq AS (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, 1 AS span_idx,
+           'media://seq/' || h AS media_ref, 'pngseq' AS media_kind,
+           -- frame container: u32 count + per frame u32 len + a level-0
+           -- PNG (68 + h*(1+4w) bytes)
+           CAST(4 + (doc_id % 6 + 2)
+                    * (4 + 68 + ((doc_id * 5 + 7) % 32 + 16)
+                       * (1 + 4 * (doc_id % 32 + 16))) AS INT) AS n_bytes,
+           CAST(doc_id % 32 + 16 AS INT) AS width,
+           CAST((doc_id * 5 + 7) % 32 + 16 AS INT) AS height
+    FROM base WHERE doc_id % 4 = 1)
+  SELECT * FROM wav UNION ALL SELECT * FROM seq
+""")
+def q_multimodal_av_meta(spark, sf_dir):
+    """Audio + video decode paths with a full metadata oracle: real WAV
+    containers (16-bit PCM mono, stdlib parse) and real PNG frame
+    sequences (every sampled frame genuinely decoded) flow through the
+    SAME mapInPandas extractor as images; n_bytes counts the actual
+    container bytes via the closed-form sizes, so an encoder or parser
+    drift flips this row red.  Sample/pixel-derived stats are
+    pytest-covered (test_round4_ops)."""
+    from .operators.multimodal import (media_features,
+                                       media_table_av_from_flat_docs)
+    media = media_table_av_from_flat_docs(_t(spark, sf_dir, "documents"))
+    feats = media_features(media)
+    return feats.select("doc_id", "span_idx", "media_ref", "media_kind",
+                        "n_bytes", "width", "height")
+
+
 def _stamp_color_sql() -> str:
     """Stamp color (gpx2tiles.c:637-653) in SQL: network src or no SPEED
     flag → spdclr[0]; else the speed table lookup."""
@@ -1915,6 +1953,51 @@ def q_streaming_windowed_counts(spark, sf_dir):
         F.col("window_start").cast("timestamp").cast("double").cast("long")
         .alias("win_start_s"), "tx", "ty", "point_cnt").persist())
     out.count()
+    return out
+
+
+@register("streaming_dedup", "SELECT event_id FROM events")
+def q_streaming_dedup(spark, sf_dir):
+    """Streaming exactly-once dedup (dropDuplicatesWithinWatermark —
+    watermark-bounded key state): the events table replays as TWO
+    event-time files whose ranges OVERLAP, so ~20% of the rows arrive
+    twice across micro-batches; the converged append output must equal
+    the batch DISTINCT (= the events table itself, ids are unique).
+    Overlap rows in batch 2 are either deduped by state (inside the
+    watermark) or dropped by the watermark filter — the converged set
+    is identical either way, which is the operator's contract."""
+    import glob
+    import shutil
+    import tempfile
+    import time as _time
+
+    from .streaming.live import dedup_events_stream
+
+    ev = _t(spark, sf_dir, "events")
+    es = F.col("ts").cast("timestamp").cast("double")
+    q40, q60 = (ev.agg(F.percentile(es, F.lit(0.4)),
+                       F.percentile(es, F.lit(0.6))).collect()[0])
+    tmp = tempfile.mkdtemp(prefix="stream_dup_")
+    src_dir = os.path.join(tmp, "in")
+    os.makedirs(src_dir)
+    for i, part in enumerate([ev.filter(es < q60), ev.filter(es >= q40)]):
+        stage = os.path.join(tmp, f"stage{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        src = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(src, os.path.join(src_dir, f"{i:04d}.parquet"))
+        _time.sleep(1.1)
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src_dir))
+    name = f"sdedup_{abs(hash(sf_dir)) % 99999}"
+    q = (dedup_events_stream(stream, watermark="1 hour")
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    out = spark.table(name).select("event_id").persist()
+    out.count()
+    shutil.rmtree(tmp, ignore_errors=True)
     return out
 
 

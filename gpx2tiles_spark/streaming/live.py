@@ -52,6 +52,27 @@ def windowed_tile_counts(stream_points: DataFrame, z: int = 12,
     )
 
 
+def dedup_events_stream(stream_events: DataFrame,
+                        watermark: str = "1 hour") -> DataFrame:
+    """Streaming exactly-once dedup — the streaming twin of the batch
+    ``dedup_exact``: each event_id is emitted ONCE no matter how many
+    times it arrives across micro-batches.
+
+    ``dropDuplicatesWithinWatermark`` (not plain ``dropDuplicates``)
+    bounds the key state to the watermark horizon — unbounded streaming
+    dedup state grows O(distinct keys ever seen), which is exactly the
+    thing that falls over at 100 TB; within-watermark state is
+    O(keys per watermark window).  Duplicates later than the watermark
+    are dropped by the watermark filter itself, so the CONVERGED output
+    still equals the batch DISTINCT either way.
+
+    ``stream_events`` needs (event_id, ts)."""
+    return (stream_events
+            .select("event_id", F.col("ts").cast("timestamp").alias("ts"))
+            .withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["event_id"]))
+
+
 SESSION_OUTPUT = T.StructType([
     T.StructField("user_id", T.LongType(), False),
     T.StructField("n_events", T.LongType(), False),
