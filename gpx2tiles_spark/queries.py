@@ -2001,6 +2001,46 @@ def q_streaming_dedup(spark, sf_dir):
     return out
 
 
+@register("streaming_interval_join", """
+  SELECT p.event_id AS event_id, a.event_id AS alert_id
+  FROM events p JOIN events a
+    ON p.user_id = a.user_id AND a.event_id % 20 = 0
+   AND epoch(a.ts) >= epoch(p.ts) - 600 AND epoch(a.ts) <= epoch(p.ts)
+""")
+def q_streaming_interval_join(spark, sf_dir):
+    """Stream-STREAM watermarked interval join (§2.9's last missing
+    shape): the events table replays as two event-time-ordered files
+    consumed by TWO streams — every event as a point, every 20th as an
+    'alert' — and each point joins the same user's alerts from the
+    preceding 10 minutes.  Watermarks on both sides + two-sided time
+    bounds let Spark evict join state; the converged inner join must
+    equal the batch interval join (the oracle)."""
+    from .streaming.live import interval_join_stream
+
+    ev = _t(spark, sf_dir, "events")
+    tmp = _stage_event_stream(spark, ev, 2)
+    src = os.path.join(tmp, "in")
+
+    def rd():
+        return (spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1).parquet(src))
+
+    points = rd().select("event_id", "user_id", "ts")
+    alerts = (rd().filter(F.col("event_id") % 20 == 0)
+              .select(F.col("event_id").alias("alert_id"),
+                      F.col("user_id").alias("a_user_id"),
+                      F.col("ts").alias("a_ts")))
+    name = f"sjoin_{abs(hash(sf_dir)) % 99999}"
+    q = (interval_join_stream(points, alerts, lookback_minutes=10,
+                              watermark="2 hours")
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    out = spark.table(name).select("event_id", "alert_id").persist()
+    out.count()
+    return out
+
+
 _ASOF_SQL = f"""
   WITH pts AS (
     SELECT doc_id, kind, lat, lon

@@ -73,6 +73,35 @@ def dedup_events_stream(stream_events: DataFrame,
             .dropDuplicatesWithinWatermark(["event_id"]))
 
 
+def interval_join_stream(points: DataFrame, alerts: DataFrame,
+                         lookback_minutes: int = 10,
+                         watermark: str = "2 hours") -> DataFrame:
+    """Stream-STREAM event-time interval join: each point picks up the
+    alerts of the same user whose event time falls in
+    ``[point.ts - lookback, point.ts]``.
+
+    Both sides carry watermarks and the join condition bounds event
+    time on both sides, so Spark can size and EVICT the buffered state
+    (the stream-stream join state would otherwise grow without bound —
+    the 100 TB failure mode).  With an in-order replay the converged
+    inner-join output equals the batch interval join exactly.
+
+    ``points`` needs (event_id, user_id, ts); ``alerts`` needs
+    (alert_id, a_user_id, a_ts) — pre-renamed, because stream-stream
+    joins forbid ambiguous column references across sides."""
+    p = points.select("event_id", "user_id",
+                      F.col("ts").cast("timestamp").alias("ts")) \
+        .withWatermark("ts", watermark)
+    a = alerts.select("alert_id", "a_user_id",
+                      F.col("a_ts").cast("timestamp").alias("a_ts")) \
+        .withWatermark("a_ts", watermark)
+    cond = F.expr(
+        f"user_id = a_user_id AND "
+        f"a_ts >= ts - INTERVAL {int(lookback_minutes)} MINUTES AND "
+        f"a_ts <= ts")
+    return p.join(a, cond, "inner").select("event_id", "alert_id")
+
+
 SESSION_OUTPUT = T.StructType([
     T.StructField("user_id", T.LongType(), False),
     T.StructField("n_events", T.LongType(), False),

@@ -243,3 +243,56 @@ def test_streaming_dedup_drops_cross_batch_duplicates(spark, tmp_path):
     got = sorted(r.event_id for r in
                  spark.table("sdedup_t").select("event_id").collect())
     assert got == list(range(40))  # each id once, incl. the 8 dups
+
+
+def test_streaming_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream watermarked interval join converges to the batch
+    interval join on an ordered two-file replay — including pairs that
+    SPAN the micro-batch boundary (point in batch 2, alert in batch 1)."""
+    import glob
+    import shutil
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from gpx2tiles_spark.streaming.live import interval_join_stream
+
+    # user 1: alerts at t=0 and t=30min; points every 7 min
+    rows = [(100 + i, 1, f"2016-06-25 10:{7*i:02d}:00") for i in range(8)]
+    rows += [(900, 1, "2016-06-25 10:00:00"), (901, 1, "2016-06-25 10:30:00")]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts string") \
+        .select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
+    src = tmp_path / "in"
+    src.mkdir()
+    es = F.col("ts").cast("double")
+    cut = ev.agg(F.percentile(es, F.lit(0.5))).collect()[0][0]
+    for i, part in enumerate([ev.filter(es < cut), ev.filter(es >= cut)]):
+        stage = str(tmp_path / f"stage{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        shutil.move(glob.glob(stage + "/part-*.parquet")[0],
+                    str(src / f"{i:04d}.parquet"))
+        _time.sleep(1.1)
+
+    def rd():
+        return (spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1).parquet(str(src)))
+
+    points = rd()
+    alerts = (rd().filter(F.col("event_id") >= 900)
+              .select(F.col("event_id").alias("alert_id"),
+                      F.col("user_id").alias("a_user_id"),
+                      F.col("ts").alias("a_ts")))
+    q = (interval_join_stream(points, alerts, lookback_minutes=10,
+                              watermark="2 hours")
+         .writeStream.format("memory").queryName("sjoin_t")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted((r.event_id, r.alert_id)
+                 for r in spark.table("sjoin_t").collect())
+    want = sorted((p.event_id, a.event_id) for p in ev.collect()
+                  for a in ev.collect()
+                  if a.event_id >= 900 and p.user_id == a.user_id
+                  and 0 <= (p.ts - a.ts).total_seconds() <= 600)
+    assert got == want and len(got) > 0
+    # the boundary-spanning pair joined: alert 901 (t=30, batch 2 or 1?)
+    # every alert matched at least one point
+    assert {a for _, a in got} == {900, 901}
