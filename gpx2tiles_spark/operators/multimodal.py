@@ -1,12 +1,15 @@
 """Multimodal column plumbing: media spans as opaque binary + typed
 metadata, with Arrow-batched decode + feature extraction.
 
-The *decode* step is REAL for three media kinds, all via pure-stdlib
-parsers shipped in this repo:
+The *decode* step is REAL for four media kinds, all via pure
+stdlib/numpy parsers shipped in this repo:
 
   png    — genuine RGBA PNGs (``synth_png`` via ``pngcodec``), decoded
            with ``pngcodec.decode_png``; luma/features come from
            actually-decoded pixels (Rec. 601).
+  jpeg   — genuine baseline JPEGs (``synth_jpeg`` via ``jpegcodec`` —
+           DCT, optimized Huffman tables), decoded by a real
+           structural parser (quantizers from DQT, Huffman from DHT).
   wav    — genuine RIFF/WAVE 16-bit PCM mono containers, chunk-walked
            by ``decode_wav``; the feature plane is the real amplitude.
   pngseq — a frame-sequence video stand-in whose every SAMPLED frame
@@ -14,9 +17,9 @@ parsers shipped in this repo:
            frames are never decompressed, the point of frame sampling
            at scale).
 
-Only kinds with no in-container codec (jpeg/mp3/mp4) fall back to the
-clearly-marked deterministic stand-in ``_fake_decode``; swapping that
-for PIL/ffmpeg is a one-function change on the executors.
+Only compressed A/V kinds with no in-container codec (mp3/mp4) fall
+back to the clearly-marked deterministic stand-in ``_fake_decode``;
+swapping that for ffmpeg is a one-function change on the executors.
 
 Synthetic payloads have CLOSED-FORM byte lengths (PNG at deflate level
 0: ``68 + height*(1 + 4*width)``; WAV: ``44 + 2*n_samples``; pngseq:
@@ -36,6 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..jpegcodec import decode_jpeg, encode_jpeg
 from ..pngcodec import decode_png, encode_png
 
 MEDIA_SCHEMA = T.StructType([
@@ -83,6 +87,22 @@ def synth_png_len(width: int, height: int) -> int:
     raw = height * (1 + 4 * width)
     assert raw <= 65535, "multiple stored blocks — formula no longer holds"
     return 68 + raw
+
+
+def synth_jpeg(seed_bytes: bytes, width: int, height: int) -> bytes:
+    """Deterministic synthetic JPEG: a smooth seeded gradient-plus-noise
+    RGB field through the repo's own baseline encoder (jpegcodec.py —
+    optimized Huffman tables, 4:4:4).  Unlike the level-0 PNG there is
+    no closed-form byte length (entropy coding), so jpeg media are
+    oracled through the features GOLDEN, not the metadata SQL."""
+    seed = int.from_bytes(hashlib.md5(seed_bytes).digest()[:8], "big")
+    rng = np.random.default_rng(np.random.Philox(key=seed ^ 0x19E6))
+    gx = np.linspace(0, 255, width)[None, :]
+    gy = np.linspace(0, 255, height)[:, None]
+    base = (gx + gy) / 2.0
+    rgb = np.stack([base, 255.0 - base, base], axis=-1)
+    rgb = rgb + rng.normal(0, 12.0, size=(height, width, 3))
+    return encode_jpeg(np.clip(rgb, 0, 255).astype(np.uint8))
 
 
 def synth_wav(seed_bytes: bytes, n_samples: int, rate: int = 8000) -> bytes:
@@ -173,12 +193,13 @@ def decode_pngseq_frames(data: bytes, every: int = 1) -> list[np.ndarray]:
 
 def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
     """STUB: deterministic stand-in for media kinds with no in-container
-    codec (jpeg/audio frames/video stills).
+    codec — since round 4 that is only compressed A/V containers
+    (mp3/mp4); png, jpeg, wav and pngseq all have REAL in-repo decoders
+    and never reach this.
 
-    Real deployments replace this with PIL/libjpeg/ffmpeg on the
-    executor; the fake derives a (h, w) luma plane from the payload
-    bytes so downstream shapes and statistics are real and reproducible.
-    PNG payloads never reach this — they go through the real decoder."""
+    Real deployments replace this with ffmpeg on the executor; the fake
+    derives a (h, w) plane from the payload bytes so downstream shapes
+    and statistics stay real and reproducible."""
     seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "big")
     rng = np.random.default_rng(seed)
     return rng.integers(0, 256, size=(height, width), dtype=np.uint8)
@@ -188,15 +209,17 @@ def decode_luma(payload: bytes, media_kind: str,
                 width: int, height: int) -> np.ndarray:
     """payload → (h, w) float64 intensity plane in [0, 255].
 
-    REAL decoders (all pure-stdlib, shipped in this repo):
+    REAL decoders (all pure-stdlib/numpy, shipped in this repo):
       png    — pngcodec.decode_png + Rec. 601 luma
+      jpeg   — jpegcodec.decode_jpeg (baseline DCT, Huffman tables and
+               quantizers parsed from the file's own DHT/DQT) + luma
       wav    — RIFF 16-bit PCM parse; the (1, n_samples) plane is the
                amplitude mapped linearly to 0..255 (metadata: width =
                n_samples, height = 1)
       pngseq — frame-sampled video stand-in: every 2nd frame is really
                PNG-decoded, the plane is the mean luma across sampled
                frames
-    Kinds with no in-container codec (jpeg/mp3/mp4) fall back to the
+    Kinds with no in-container codec (mp3/mp4) fall back to the
     declared fake."""
     if media_kind == "png":
         rgba = decode_png(bytes(payload))
@@ -205,6 +228,13 @@ def decode_luma(payload: bytes, media_kind: str,
                 f"decoded PNG is {rgba.shape[1]}x{rgba.shape[0]}, "
                 f"metadata says {width}x{height}")
         return rgba[..., :3].astype(np.float64) @ _LUMA_W
+    if media_kind == "jpeg":
+        rgb = decode_jpeg(bytes(payload))
+        if rgb.shape[:2] != (height, width):
+            raise ValueError(
+                f"decoded JPEG is {rgb.shape[1]}x{rgb.shape[0]}, "
+                f"metadata says {width}x{height}")
+        return rgb.astype(np.float64) @ _LUMA_W
     if media_kind == "wav":
         samples = decode_wav(bytes(payload))
         if len(samples) != width or height != 1:
@@ -232,24 +262,28 @@ def _synth_png_udf(ref: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
 
 def media_table(documents: DataFrame) -> DataFrame:
     """Materialize media spans as an opaque-binary table with metadata.
-    The payload is a REAL PNG synthesized deterministically from the
-    media_ref on the executors (the ref stands in for a blob-store
-    fetch; everything after it — bytes, decode, features — is the real
-    pipeline)."""
+    Payloads are REAL containers synthesized deterministically from the
+    media_ref on the executors — every 3rd media object a baseline
+    JPEG (repo jpegcodec), the rest RGBA PNGs (the ref stands in for a
+    blob-store fetch; everything after it — bytes, decode, features —
+    is the real pipeline)."""
     spans = documents.select(
         "doc_id", F.posexplode("spans").alias("span_idx", "span")
     ).filter(F.col("span.kind") == "media").select(
         "doc_id", "span_idx", F.col("span.media_ref").alias("media_ref"),
     )
+    kind = F.when(F.abs(F.hash("media_ref", "doc_id")) % 3 == 0,
+                  F.lit("jpeg")).otherwise(F.lit("png"))
     sized = spans.select(
         "doc_id", "span_idx", "media_ref",
-        F.lit("png").alias("media_kind"),
+        kind.alias("media_kind"),
         (F.abs(F.hash("media_ref")) % 64 + 16).cast("int").alias("width"),
         (F.abs(F.hash("media_ref", "doc_id")) % 64 + 16).cast("int").alias("height"),
     )
     return sized.select(
         "doc_id", "span_idx", "media_ref",
-        _synth_png_udf("media_ref", "width", "height").alias("payload"),
+        _synth_av_udf("media_kind", "media_ref", "width", "height",
+                      F.lit(1)).alias("payload"),
         "media_kind", "width", "height")
 
 
@@ -285,6 +319,8 @@ def _synth_av_udf(kind: pd.Series, ref: pd.Series, w: pd.Series,
         elif k == "pngseq":
             out.append(synth_pngseq(r.encode("utf-8"), int(wi), int(hi),
                                     int(f)))
+        elif k == "jpeg":
+            out.append(synth_jpeg(r.encode("utf-8"), int(wi), int(hi)))
         else:
             out.append(synth_png(r.encode("utf-8"), int(wi), int(hi)))
     return pd.Series(out, dtype=object)

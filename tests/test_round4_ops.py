@@ -60,13 +60,34 @@ def test_media_features_decodes_real_pixels(spark):
 
 
 def test_media_features_nonpng_uses_declared_fake(spark):
-    """Kinds with no in-container codec still flow through the declared
-    deterministic stand-in (documented stub, not silent)."""
+    """Kinds with no in-container codec (mp3/mp4 — png/jpeg/wav/pngseq
+    all decode for real) still flow through the declared deterministic
+    stand-in (documented stub, not silent)."""
     media = spark.createDataFrame(
-        [("d0", 0, "media://j", bytearray(b"notapng"), "jpeg", 5, 5)],
+        [("d0", 0, "media://j", bytearray(b"notanmp4"), "mp4", 5, 5)],
         MEDIA_SCHEMA)
     row = media_features(media).collect()[0]
     assert 0 <= row.mean_luma_milli <= 255_000
+
+
+def test_media_features_decodes_real_jpeg(spark):
+    """A known JPEG payload through the extractor yields the luma of the
+    ACTUALLY decoded pixels (encode→decode is lossy, so compare against
+    the decoder's own output, which an independent luma recomputation
+    must match)."""
+    from gpx2tiles_spark.jpegcodec import decode_jpeg, encode_jpeg
+
+    base = np.full((8, 16, 3), 128, dtype=np.uint8)
+    base[:, :8] = 40
+    payload = encode_jpeg(base)
+    want_luma = (decode_jpeg(payload).astype(np.float64)
+                 @ np.array([0.299, 0.587, 0.114]))
+    media = spark.createDataFrame(
+        [("d0", 0, "media://jp", bytearray(payload), "jpeg", 16, 8)],
+        MEDIA_SCHEMA)
+    row = media_features(media, feat_dim=4).collect()[0]
+    assert row.mean_luma_milli == int(np.floor(want_luma.mean() * 1000))
+    assert row.n_bytes == len(payload)
 
 
 def test_kmeans_centroids_balance_and_recall(spark):
