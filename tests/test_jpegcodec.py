@@ -107,3 +107,47 @@ def test_decoder_rejects_unsupported():
     a[i + 1] = 0xC2
     with pytest.raises(ValueError, match="baseline"):
         decode_jpeg(bytes(a))
+
+
+def test_property_roundtrip_random_images():
+    """Hypothesis-style property sweep (seeded, no flaky shrink): any
+    8-bit RGB image round-trips within ±3 at unit quantization, for
+    shapes crossing both 8-multiple and ragged block boundaries."""
+    try:
+        from hypothesis import given, settings, strategies as st
+    except ImportError:  # hypothesis is in the container, but be safe
+        import pytest
+        pytest.skip("hypothesis unavailable")
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(1, 40), st.integers(1, 40),
+        st.integers(0, 2**32 - 1),
+    )
+    def check(h, w, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(img, quant_scale=0.01))
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 3
+
+    check()
+
+
+def test_property_wav_roundtrip():
+    try:
+        from hypothesis import given, settings, strategies as st
+    except ImportError:
+        import pytest
+        pytest.skip("hypothesis unavailable")
+    from gpx2tiles_spark.operators.multimodal import (
+        decode_wav, synth_wav, synth_wav_len)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.binary(min_size=0, max_size=32), st.integers(1, 5000))
+    def check(seed, n):
+        data = synth_wav(seed, n)
+        assert len(data) == synth_wav_len(n)
+        assert decode_wav(data).shape == (n,)
+
+    check()
