@@ -10,14 +10,19 @@ wrap — including the missing trailing newline when the tile list ends
 unwrapped, dump.h:14-22).  The sink streams rows in painter order via
 toLocalIterator — a diagnostic sink, not a data path.
 
-Divergence (documented): dump_zoom_level iterates the reference's hash
-buckets in memory order, which is not reproducible — the census line
-here lists tiles in (tx, ty) order instead.
+Round 4 closes the census ORDER divergence: the reference's find_tile
+is MOVE-TO-FRONT (gpx2tiles.c:199-217, every lookup moves the tile to
+its bucket's head; alloc_tile pushes new tiles to the head, :256), so
+the chain order dump_zoom_level prints is exactly `bucket asc,
+last-access desc` — and the last access per tile is derivable from the
+draw loop's lookup sequence (census_accesses below).  The census is
+now byte-identical INCLUDING order, verified against an independent
+imperative MTF simulator (tests/test_round4_ops.py).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .. import projection as P
@@ -88,27 +93,161 @@ def doc_dump_headers(points: DataFrame) -> DataFrame:
         .alias("header"))
 
 
-def zoom_census_lines(points: DataFrame, cfg: EngineConfig) -> DataFrame:
-    """dump_zoom_level: per zoom, ' x/y (cnt)' wrapped at 60 columns —
-    tiles in (tx, ty) order (the reference walks hash buckets; that
-    ordering divergence is documented, the tile SET is exact).
+def census_accesses(points: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """One row per TILE LOOKUP of the reference's draw loop:
+    (z, tx, ty, doc_id, seg_order, pt_idx, slot, k).
 
-    The tile set comes from the full RENDER event relation, not just the
-    stamp counts: the reference registers tiles that receive only
-    cross-tile line segments or neighbor-circle spill and prints them as
-    ' x/y (0)' — distinct event tiles left-joined to the point counts
-    reproduces those zero entries (ADVICE r02)."""
-    from .events import build_events
+    The lookup sequence per point (draw_track_points,
+    gpx2tiles.c:602-712), each lookup moving the tile to its bucket
+    head (find_tile MTF / alloc_tile head push):
 
-    tiles = build_events(points, cfg).select("z", "tx", "ty").distinct()
+      slot 0 — the point's own tile (get_tile_at(&xy), :612);
+      slot 1 — the PREVIOUS point's tile (get_tile_at(&pxy), :624) for
+               every point but the first of its chain — chains are per
+               track segment, and ONE chain for the whole wpt list
+               (make_tiles :729,:734; wpts only at z > z_no_wpts);
+               this access happens BEFORE any line gate;
+      slot 2 — waypoint circle neighbor-rect tiles (draw_point_circle
+               :587), x inner / y outer (next_neigh_tile :559-577);
+      slot 3 — cross-tile line candidates that satisfy the crossing
+               predicate (:675-703), x outer stepping from the prev
+               tile toward the current, y inner — skipped when the
+               NO_LINES flag (z < z_no_lines, or heatmap mode) or the
+               slow-segment gate fires, or the segment is same-tile.
+
+    (doc_id, seg_order, pt_idx, slot, k) sorts in exact draw order:
+    wpt rows carry seg_order 2^20, after every real segment."""
+    from .. import projection as P
+    from .events import crossing_tile_col, paired_points
+    from .tiles import with_pixel, with_tile_pixel, with_zooms
+    from ..config import TILE_H, TILE_W
+
+    def tiled(df):
+        zpow = F.pow(F.lit(2.0), F.col("z"))
+        df = (df.withColumn("_xf", P.xfrac_col(F.col("lon")))
+                .withColumn("_yf", P.yfrac_col(F.col("lat")))
+                .withColumn("_pxf", P.xfrac_col(F.col("prev_lon")))
+                .withColumn("_pyf", P.yfrac_col(F.col("prev_lat"))))
+        df = with_zooms(df, cfg)
+        return (df.withColumn("tx", F.floor(F.col("_xf") * zpow).cast("int"))
+                  .withColumn("ty", F.floor(F.col("_yf") * zpow).cast("int"))
+                  .withColumn("p_tx", F.floor(F.col("_pxf") * zpow).cast("int"))
+                  .withColumn("p_ty", F.floor(F.col("_pyf") * zpow).cast("int")))
+
+    key = ["doc_id", "seg_order", "pt_idx"]
+    out_cols = ["z", "tx", "ty", *key, "slot", "k"]
+
+    trk = tiled(paired_points(points.filter(F.col("kind") == "trkpt")))
+    wpt = tiled(paired_points(points.filter(F.col("kind") == "wpt"))) \
+        .filter(F.col("z") > F.lit(cfg.z_no_wpts))
+    both = trk.unionByName(wpt)
+
+    own = both.select("z", "tx", "ty", *key,
+                      F.lit(0).alias("slot"), F.lit(0).alias("k"))
+    prev = both.filter(F.col("prev_lat").isNotNull()).select(
+        "z", F.col("p_tx").alias("tx"), F.col("p_ty").alias("ty"), *key,
+        F.lit(1).alias("slot"), F.lit(0).alias("k"))
+
+    # slot 2: circle rect (x inner, y outer), wpts only
+    r = cfg.point_circle_diameter
+    zmax_tiles = F.pow(F.lit(2.0), F.col("z")).cast("int") - F.lit(1)
+
+    def clamp(c):
+        return F.least(F.greatest(c, F.lit(0)), zmax_tiles)
+
+    def cdiv(c):  # C truncating division by 256
+        return (c.cast("double") / F.lit(256.0)).cast("int")
+
+    wp = with_pixel(wpt)
+    wp = (wp.withColumn("lt_x", clamp(F.when(
+              F.col("px") - r < 0,
+              F.col("tx") + cdiv(F.col("px") - F.lit(r)) - 1).otherwise(F.col("tx"))))
+          .withColumn("lt_y", clamp(F.when(
+              F.col("py") - r < 0,
+              F.col("ty") + cdiv(F.col("py") - F.lit(r)) - 1).otherwise(F.col("ty"))))
+          .withColumn("rb_x", clamp(F.when(
+              F.col("px") + r > TILE_W,
+              F.col("tx") + cdiv(F.col("px") + F.lit(r))).otherwise(F.col("tx"))))
+          .withColumn("rb_y", clamp(F.when(
+              F.col("py") + r > TILE_W,
+              F.col("ty") + cdiv(F.col("py") + F.lit(r))).otherwise(F.col("ty")))))
+    circles = (wp.withColumn("cx", F.explode(F.sequence(F.col("lt_x"), F.col("rb_x"))))
+               .withColumn("cy", F.explode(F.sequence(F.col("lt_y"), F.col("rb_y"))))
+               .select("z", F.col("cx").alias("tx"), F.col("cy").alias("ty"),
+                       *key, F.lit(2).alias("slot"),
+                       ((F.col("cy") - F.col("lt_y"))
+                        * (F.col("rb_x") - F.col("lt_x") + 1)
+                        + (F.col("cx") - F.col("lt_x"))).alias("k")))
+
+    # slot 3: crossing candidates (gates exactly as build_events)
+    can_line = (
+        F.lit(not cfg.heatmap)
+        & F.col("prev_lat").isNotNull()
+        & (F.col("z") >= F.lit(cfg.z_no_lines))
+        & ~((F.col("flags").bitwiseAND(F.lit(8)) != 0)
+            & (F.col("speed") * F.lit(3.6) < F.lit(cfg.no_lines_speed_kph)))
+    )
+    not_same = (F.col("tx") != F.col("p_tx")) | (F.col("ty") != F.col("p_ty"))
+    cr = with_pixel(with_pixel(trk.filter(can_line & not_same)),
+                    lat="prev_lat", lon="prev_lon", prefix="p_")
+    cr = (cr.withColumn("cx", F.explode(F.sequence(F.col("p_tx"), F.col("tx"))))
+            .withColumn("cy", F.explode(F.sequence(F.col("p_ty"), F.col("ty"))))
+            .withColumn("lx1", F.col("p_px") - F.lit(TILE_W) * (F.col("cx") - F.col("p_tx")))
+            .withColumn("ly1", F.col("p_py") - F.lit(TILE_H) * (F.col("cy") - F.col("p_ty")))
+            .withColumn("lx2", F.col("px") - F.lit(TILE_W) * (F.col("cx") - F.col("tx")))
+            .withColumn("ly2", F.col("py") - F.lit(TILE_H) * (F.col("cy") - F.col("ty")))
+            .filter(crossing_tile_col(F.col("lx1"), F.col("ly1"),
+                                      F.col("lx2"), F.col("ly2"))))
+    crossing = cr.select(
+        "z", F.col("cx").alias("tx"), F.col("cy").alias("ty"), *key,
+        F.lit(3).alias("slot"),
+        (F.abs(F.col("cx") - F.col("p_tx"))
+         * (F.abs(F.col("ty") - F.col("p_ty")) + 1)
+         + F.abs(F.col("cy") - F.col("p_ty"))).alias("k"))
+
+    return (own.select(*out_cols)
+            .unionByName(prev.select(*out_cols))
+            .unionByName(circles.select(*out_cols))
+            .unionByName(crossing.select(*out_cols)))
+
+
+def census_ordered_tiles(points: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Per (z, tile): point_cnt + the reference's PRINT position —
+    (z, tx, ty, point_cnt, bucket, pos) with pos = row_number over
+    (bucket asc, last-access desc), matching dump_zoom_level's walk of
+    the 256 hash buckets (hash_xy = ((y << 3) | (x & 7)) % 256,
+    gpx2tiles.c:194-197) with MTF chains."""
+    acc = census_accesses(points, cfg)
+    last = acc.groupBy("z", "tx", "ty").agg(
+        F.max(F.struct("doc_id", "seg_order", "pt_idx", "slot", "k"))
+        .alias("last"))
     counts = tile_point_counts(points, cfg)
-    per_tile = tiles.join(counts, ["z", "tx", "ty"], "left").select(
-        "z", "tx", "ty",
+    per_tile = last.join(counts, ["z", "tx", "ty"], "left").select(
+        "z", "tx", "ty", "last",
+        F.coalesce(F.col("point_cnt"), F.lit(0)).alias("point_cnt"),
+        (F.shiftleft(F.col("ty").cast("long"), 3)
+         .bitwiseOR(F.col("tx").cast("long").bitwiseAND(F.lit(7)))
+         % 256).cast("int").alias("bucket"))
+    w = Window.partitionBy("z").orderBy(F.asc("bucket"), F.desc("last"))
+    return per_tile.select("z", "tx", "ty", "point_cnt", "bucket",
+                           F.row_number().over(w).alias("pos"))
+
+
+def zoom_census_lines(points: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """dump_zoom_level: per zoom, ' x/y (cnt)' wrapped at 60 columns, in
+    the reference's EXACT print order (bucket walk + MTF chain order —
+    census_ordered_tiles).
+
+    The tile set comes from the full access relation, not just the
+    stamp counts: the reference registers tiles that receive only
+    cross-tile line segments or neighbor-circle spill and prints them
+    as ' x/y (0)' (ADVICE r02)."""
+    per_tile = census_ordered_tiles(points, cfg).select(
+        "z", "pos",
         F.format_string(" %d/%d (%d)", F.col("tx"), F.col("ty"),
-                        F.coalesce(F.col("point_cnt"), F.lit(0)))
-        .alias("part"))
+                        F.col("point_cnt")).alias("part"))
     agg = (per_tile.groupBy("z")
-           .agg(F.array_sort(F.collect_list(F.struct("tx", "ty", "part")))
+           .agg(F.array_sort(F.collect_list(F.struct("pos", "part")))
                 .alias("parts")))
     line = _wrap60(F.transform(F.col("parts"), lambda s: s["part"]))
     # trailing newline when the line didn't just wrap (dump.h:60-61)

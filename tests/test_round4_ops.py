@@ -317,3 +317,117 @@ def test_streaming_interval_join_matches_batch(spark, tmp_path):
     # the boundary-spanning pair joined: alert 901 (t=30, batch 2 or 1?)
     # every alert matched at least one point
     assert {a for _, a in got} == {900, 901}
+
+
+def _mtf_census_simulator(rows, cfg, zooms):
+    """Independent imperative model of the reference's tile registry:
+    256 MTF hash buckets per zoom (gpx2tiles.c:194-217,256) driven by a
+    literal transcription of draw_track_points' lookup sequence.
+    rows: parsed points as Row objects.  Returns {z: [(tx,ty,cnt), ...]}
+    in dump_zoom_level print order."""
+    from collections import defaultdict
+
+    from gpx2tiles_spark import projection as P
+    from gpx2tiles_spark.draw import crossing_tile
+
+    by_doc = defaultdict(lambda: defaultdict(list))
+    for r in rows:
+        by_doc[r.doc_id][(r.kind, r.seg_order)].append(r)
+    out = {}
+    for z in zooms:
+        buckets = [[] for _ in range(256)]
+        counts = defaultdict(int)
+
+        def access(tx, ty):
+            h = ((ty << 3) | (tx & 7)) % 256
+            b = buckets[h]
+            if (tx, ty) in b:
+                b.remove((tx, ty))
+            b.insert(0, (tx, ty))
+
+        def tile_of(pt):
+            return (int(P.lon_to_tilex(pt.lon, z)),
+                    int(P.lat_to_tiley(pt.lat, z)))
+
+        def chain(pts, no_lines, circle):
+            prev = None
+            for pt in pts:
+                tx, ty = tile_of(pt)
+                px, py = (int(v) for v in P.pixel_pos(pt.lon, pt.lat, z))
+                access(tx, ty)                       # slot 0
+                counts[(tx, ty)] += 1
+                if prev is not None:
+                    ptx, pty, ppx, ppy = prev
+                    access(ptx, pty)                 # slot 1
+                else:
+                    ptx, pty, ppx, ppy = tx, ty, px, py
+                if circle:                           # slot 2
+                    r = cfg.point_circle_diameter
+                    mx = (1 << z) - 1
+                    cl = lambda v: max(0, min(v, mx))
+                    ltx = cl(tx + int((px - r) / 256) - 1) if px - r < 0 else cl(tx)
+                    lty = cl(ty + int((py - r) / 256) - 1) if py - r < 0 else cl(ty)
+                    rbx = cl(tx + int((px + r) / 256)) if px + r > 256 else cl(tx)
+                    rby = cl(ty + int((py + r) / 256)) if py + r > 256 else cl(ty)
+                    for cy in range(lty, rby + 1):   # y outer
+                        for cx in range(ltx, rbx + 1):  # x inner
+                            access(cx, cy)
+                # line gates, in C order (gpx2tiles.c:663-703)
+                if not no_lines and prev is not None:
+                    slow = (pt.flags & 8) and pt.speed * 3.6 < cfg.no_lines_speed_kph
+                    if not slow and (tx, ty) != (ptx, pty):
+                        sx = 1 if tx > ptx else -1
+                        sy = 1 if ty > pty else -1
+                        for cx in range(ptx, tx + sx, sx):     # x outer
+                            for cy in range(pty, ty + sy, sy):  # y inner
+                                x1 = ppx - 256 * (cx - ptx)
+                                y1 = ppy - 256 * (cy - pty)
+                                x2 = px - 256 * (cx - tx)
+                                y2 = py - 256 * (cy - ty)
+                                if crossing_tile(x1, y1, x2, y2):
+                                    access(cx, cy)   # slot 3
+                prev = (tx, ty, px, py)
+
+        for doc_id in sorted(by_doc):
+            segs = by_doc[doc_id]
+            for (kind, seg_order) in sorted(k for k in segs if k[0] == "trkpt"):
+                pts = sorted(segs[(kind, seg_order)], key=lambda p: p.pt_idx)
+                chain(pts, no_lines=cfg.heatmap or z < cfg.z_no_lines,
+                      circle=False)
+            if z > cfg.z_no_wpts:
+                wkeys = sorted(k for k in segs if k[0] == "wpt")
+                wpts = [p for k in wkeys
+                        for p in sorted(segs[k], key=lambda p: p.pt_idx)]
+                if wpts:
+                    chain(wpts, no_lines=True, circle=True)
+        out[z] = [(tx, ty, counts[(tx, ty)])
+                  for b in buckets for (tx, ty) in b]
+    return out
+
+
+@pytest.mark.parametrize("heatmap", [False, True])
+def test_census_order_matches_mtf_simulator(spark, heatmap):
+    """The relational census order (bucket asc, last-access desc over
+    the derived lookup sequence) must equal an imperative MTF hash-table
+    simulation of the reference's draw loop — byte-identical census,
+    ORDER included, closing the round-3 documented divergence."""
+    from gpx2tiles_spark.config import EngineConfig
+    from gpx2tiles_spark.corpus import generate_documents
+    from gpx2tiles_spark.operators.dump import census_ordered_tiles
+    from gpx2tiles_spark.operators.parse import parse_documents
+
+    cfg = EngineConfig(zoom_min=4, zoom_max=18, heatmap=heatmap)
+    points = parse_documents(generate_documents(spark, 10)).persist()
+    rows = points.collect()
+    want = _mtf_census_simulator(rows, cfg, cfg.zooms())
+
+    got_rows = census_ordered_tiles(points, cfg).collect()
+    got = {}
+    for r in sorted(got_rows, key=lambda r: (r.z, r.pos)):
+        got.setdefault(r.z, []).append((r.tx, r.ty, r.point_cnt))
+    points.unpersist()
+    assert set(got) == set(want)
+    for z in sorted(want):
+        assert got[z] == want[z], f"z={z}: first diff at " + str(next(
+            (i, a, b) for i, (a, b) in enumerate(zip(got[z], want[z]))
+            if a != b))
