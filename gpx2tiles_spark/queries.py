@@ -2041,6 +2041,135 @@ def q_streaming_interval_join(spark, sf_dir):
     return out
 
 
+def _census_mtf_sql(zmin: int, zmax: int) -> str:
+    """The census MTF print order in pure SQL: the reference's tile
+    registry is 256 move-to-front hash buckets (gpx2tiles.c:194-217),
+    so the dump_zoom_level order is bucket asc / LAST-LOOKUP desc, and
+    the lookup sequence is derivable from the draw loop (see
+    operators/dump.census_accesses — slots 0..3).  The per-access
+    sequence key packs into a zero-padded string whose lexicographic
+    order equals the Spark side's struct order."""
+    cache = os.path.join(_ORACLE_CACHE, "points_current", "*.parquet")
+    txe = "CAST(FLOOR(((lon + 180.0) / 360.0) * POW(2.0, z)) AS INT)"
+    ptxe = "CAST(FLOOR(((plon + 180.0) / 360.0) * POW(2.0, z)) AS INT)"
+    tye = ("CAST(FLOOR(((1.0 - LN(TAN(RADIANS(lat)) + 1.0/COS(RADIANS(lat)))"
+           " / PI()) / 2.0) * POW(2.0, z)) AS INT)")
+    ptye = ("CAST(FLOOR(((1.0 - LN(TAN(RADIANS(plat)) + 1.0/COS(RADIANS(plat)))"
+            " / PI()) / 2.0) * POW(2.0, z)) AS INT)")
+    seq = ("printf('%s|%07d|%05d|%d|%09d', doc_id, seg_order, pt_idx, "
+           "{slot}, {k})")
+    # C truncating integer division by 256 (negative numerators!)
+    cdiv = "CAST(TRUNC(({v}) / 256.0) AS INT)"
+    return f"""
+  WITH pts AS (
+    SELECT doc_id, seg_order, pt_idx, kind, lat, lon, speed, flags
+    FROM read_parquet('{cache}')),
+  zs AS (SELECT CAST(unnest(generate_series({zmin}, {zmax})) AS INT) AS z),
+  chains AS (
+    SELECT doc_id, seg_order, pt_idx, kind, lat, lon, speed, flags,
+           LAG(lat) OVER w AS plat, LAG(lon) OVER w AS plon
+    FROM pts WINDOW w AS (PARTITION BY doc_id, seg_order ORDER BY pt_idx)),
+  tz AS (
+    SELECT chains.*, z, {txe} AS tx, {tye} AS ty, {ptxe} AS ptx,
+           {ptye} AS pty
+    FROM chains, zs
+    WHERE kind = 'trkpt' OR z > 16),
+  pix AS (
+    SELECT *, {_px_sql('lon', 'tx')} AS px, {_py_sql('lat', 'ty')} AS py,
+           {_px_sql('plon', 'ptx')} AS ppx, {_py_sql('plat', 'pty')} AS ppy
+    FROM tz),
+  own AS (
+    SELECT z, tx, ty, {seq.format(slot=0, k=0)} AS s,
+           TRUE AS is_stamp FROM pix),
+  prv AS (
+    SELECT z, ptx AS tx, pty AS ty, {seq.format(slot=1, k=0)} AS s,
+           FALSE AS is_stamp FROM pix WHERE plat IS NOT NULL),
+  wbase AS (
+    SELECT *,
+      GREATEST(0, LEAST(CAST(POW(2, z) AS INT) - 1,
+        CASE WHEN px - 9 < 0 THEN tx + {cdiv.format(v='px - 9')} - 1
+             ELSE tx END)) AS lt_x,
+      GREATEST(0, LEAST(CAST(POW(2, z) AS INT) - 1,
+        CASE WHEN py - 9 < 0 THEN ty + {cdiv.format(v='py - 9')} - 1
+             ELSE ty END)) AS lt_y,
+      GREATEST(0, LEAST(CAST(POW(2, z) AS INT) - 1,
+        CASE WHEN px + 9 > 256 THEN tx + {cdiv.format(v='px + 9')}
+             ELSE tx END)) AS rb_x,
+      GREATEST(0, LEAST(CAST(POW(2, z) AS INT) - 1,
+        CASE WHEN py + 9 > 256 THEN ty + {cdiv.format(v='py + 9')}
+             ELSE ty END)) AS rb_y
+    FROM pix WHERE kind = 'wpt'),
+  w1 AS (SELECT *, CAST(unnest(generate_series(lt_x, rb_x)) AS INT) AS cx
+         FROM wbase),
+  w2 AS (SELECT *, CAST(unnest(generate_series(lt_y, rb_y)) AS INT) AS cy
+         FROM w1),
+  cir AS (
+    SELECT z, cx AS tx, cy AS ty,
+           {seq.format(slot=2,
+                       k='(cy - lt_y) * (rb_x - lt_x + 1) + (cx - lt_x)')}
+             AS s,
+           FALSE AS is_stamp
+    FROM w2),
+  crossbase AS (
+    SELECT z, doc_id, seg_order, pt_idx, tx, ty, ptx, pty, px, py, ppx, ppy
+    FROM pix
+    WHERE kind = 'trkpt' AND plat IS NOT NULL AND z >= 7
+      AND NOT ((flags & 8) <> 0 AND speed * 3.6 < 1.0)
+      AND (tx <> ptx OR ty <> pty)),
+  cx1 AS (SELECT *, CAST(unnest(generate_series(least(ptx, tx),
+                                greatest(ptx, tx))) AS INT) AS cx
+          FROM crossbase),
+  cx2 AS (SELECT *, CAST(unnest(generate_series(least(pty, ty),
+                                greatest(pty, ty))) AS INT) AS cy FROM cx1),
+  crs AS (
+    SELECT z, cx AS tx, cy AS ty,
+           {seq.format(slot=3,
+                       k='ABS(cx - ptx) * (ABS(ty - pty) + 1) + ABS(cy - pty)')}
+             AS s,
+           FALSE AS is_stamp
+    FROM cx2
+    WHERE {crossing_sql('(ppx - 256 * (cx - ptx))', '(ppy - 256 * (cy - pty))',
+                        '(px - 256 * (cx - tx))', '(py - 256 * (cy - ty))')}),
+  acc AS (
+    SELECT * FROM own UNION ALL SELECT * FROM prv
+    UNION ALL SELECT * FROM cir UNION ALL SELECT * FROM crs),
+  tiles AS (
+    SELECT z, tx, ty, MAX(s) AS last,
+           CAST(SUM(CASE WHEN is_stamp THEN 1 ELSE 0 END) AS BIGINT)
+             AS point_cnt
+    FROM acc GROUP BY 1, 2, 3)
+  SELECT z, tx, ty, point_cnt,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY z
+           ORDER BY ((ty * 8 + (tx % 8)) % 256) ASC, last DESC) AS INT)
+           AS pos
+  FROM tiles
+"""
+
+
+@register("census_mtf_order", _census_mtf_sql(5, 18))
+def q_census_mtf_order(spark, sf_dir):
+    """The diagnostic census's EXACT print position per tile
+    (dump_zoom_level's 256-bucket move-to-front chain walk) as a full
+    oracle row: the Spark side derives bucket + last-lookup order from
+    the relational access sequence (operators/dump.census_ordered_tiles)
+    and DuckDB re-derives the same from the cached parsed points —
+    print ORDER, not just content, is hash-checked.  Also verified
+    against an imperative MTF hash-table simulation in
+    tests/test_round4_ops.py."""
+    from .config import EngineConfig
+    from .operators.dump import census_ordered_tiles
+
+    _points_cache(spark, sf_dir)
+    cfg = EngineConfig(zoom_min=5, zoom_max=18)
+    pts = parse_documents(_sf_docs(spark, sf_dir)).persist()
+    out = census_ordered_tiles(pts, cfg) \
+        .select("z", "tx", "ty", "point_cnt", "pos").persist()
+    out.count()
+    pts.unpersist()
+    return out
+
+
 _ASOF_SQL = f"""
   WITH pts AS (
     SELECT doc_id, kind, lat, lon
