@@ -140,3 +140,44 @@ def test_cli_file_order_sets_painter_order(spark, tmp_path):
     ids = sorted(r.doc_id for r in docs.collect())
     assert ids[0].endswith("zz_first.gpx") and ids[0].startswith("00000000:")
     assert ids[1].endswith("aa_second.gpx") and ids[1].startswith("00000001:")
+
+
+def test_stdin_nul_list_appends_after_argv(spark, tmp_path, monkeypatch):
+    """-0: NUL-terminated file list on stdin appends AFTER argv files
+    (gpx2tiles.c:1040-1045), preserving painter order across both."""
+    import io
+
+    from gpx2tiles_spark.cli import main
+
+    xml = ('<gpx><trk><trkseg><trkpt lat="48.0" lon="8.0">'
+           "<time>2016-06-25T10:00:01Z</time></trkpt></trkseg></trk></gpx>")
+    a, b = tmp_path / "a.gpx", tmp_path / "b.gpx"
+    a.write_text(xml)
+    b.write_text(xml)
+    out = tmp_path / "tiles"
+    out.mkdir()
+
+    class FakeStdin:
+        buffer = io.BytesIO(f"{b}\0".encode())
+
+    monkeypatch.setattr("sys.stdin", FakeStdin())
+    rc = main(["-z", "5", "-Z", "6", "-C", str(out), "-0", str(a)],
+              spark=spark)
+    assert rc == 0
+    import glob as g
+    assert g.glob(str(out / "*" / "*" / "*.png"))
+
+
+def test_gpx_directory_glob_source(spark, tmp_path):
+    """Directory/glob input: recursive *.gpx pickup, doc_id = path."""
+    from gpx2tiles_spark.sources.gpxfiles import read_gpx_documents
+
+    xml = ('<gpx><trk><trkseg><trkpt lat="48.0" lon="8.0">'
+           "<time>2016-06-25T10:00:01Z</time></trkpt></trkseg></trk></gpx>")
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "one.gpx").write_text(xml)
+    (tmp_path / "sub" / "two.gpx").write_text(xml)
+    (tmp_path / "ignored.txt").write_text("nope")
+    rows = read_gpx_documents(spark, str(tmp_path)).collect()
+    names = sorted(r.doc_id.rsplit("/", 1)[-1] for r in rows)
+    assert names == ["one.gpx", "two.gpx"]
