@@ -139,6 +139,23 @@ def main() -> int:
     timings["render_salted_z1_18"] = round(sec, 3)
     noise["render_salted_z1_18"] = info
     agg = state["agg"]
+
+    # heatmap mode at the same 10× corpus: the skew-free relational
+    # hit-count path (no lines, per-pixel map-side combine) — the hot
+    # z1-z4 tiles that force salting in speed mode fold locally here
+    hcfg = EngineConfig(zoom_min=1, zoom_max=18, heatmap=True)
+    hevents = build_events(points, hcfg)
+
+    def run_heatmap():
+        tiles = rasterize(hevents, hcfg)
+        state["hagg"] = tiles.agg(
+            F.count("*").alias("tiles"),
+            F.sum("point_cnt").alias("assignments")).collect()[0]
+
+    hsec, hinfo = _timed_clean(run_heatmap, attempts=2)
+    timings["render_heatmap_z1_18"] = round(hsec, 3)
+    noise["render_heatmap_z1_18"] = hinfo
+    hagg = state["hagg"]
     points.unpersist()
     docs.unpersist()
 
@@ -156,6 +173,10 @@ def main() -> int:
         "tile_assignments": int(agg["assignments"]),
         "tile_assignments_per_sec": round(
             int(agg["assignments"]) / timings["render_salted_z1_18"], 1),
+        "heatmap_tiles": int(hagg["tiles"]),
+        "heatmap_assignments": int(hagg["assignments"]),
+        "heatmap_assignments_per_sec": round(
+            int(hagg["assignments"]) / timings["render_heatmap_z1_18"], 1),
         "skew": {
             "fold_partitions": int(pstats["nparts"]),
             "fold_rows_total": int(pstats["total"]),
