@@ -117,28 +117,18 @@ def census_accesses(points: DataFrame, cfg: EngineConfig) -> DataFrame:
 
     (doc_id, seg_order, pt_idx, slot, k) sorts in exact draw order:
     wpt rows carry seg_order 2^20, after every real segment."""
-    from .. import projection as P
-    from .events import crossing_tile_col, paired_points
-    from .tiles import with_pixel, with_tile_pixel, with_zooms
+    from .events import (circle_rect_bounds, crossing_tile_col,
+                         paired_points, with_pair_tiles)
+    from .tiles import with_pixel
     from ..config import TILE_H, TILE_W
-
-    def tiled(df):
-        zpow = F.pow(F.lit(2.0), F.col("z"))
-        df = (df.withColumn("_xf", P.xfrac_col(F.col("lon")))
-                .withColumn("_yf", P.yfrac_col(F.col("lat")))
-                .withColumn("_pxf", P.xfrac_col(F.col("prev_lon")))
-                .withColumn("_pyf", P.yfrac_col(F.col("prev_lat"))))
-        df = with_zooms(df, cfg)
-        return (df.withColumn("tx", F.floor(F.col("_xf") * zpow).cast("int"))
-                  .withColumn("ty", F.floor(F.col("_yf") * zpow).cast("int"))
-                  .withColumn("p_tx", F.floor(F.col("_pxf") * zpow).cast("int"))
-                  .withColumn("p_ty", F.floor(F.col("_pyf") * zpow).cast("int")))
 
     key = ["doc_id", "seg_order", "pt_idx"]
     out_cols = ["z", "tx", "ty", *key, "slot", "k"]
 
-    trk = tiled(paired_points(points.filter(F.col("kind") == "trkpt")))
-    wpt = tiled(paired_points(points.filter(F.col("kind") == "wpt"))) \
+    trk = with_pair_tiles(
+        paired_points(points.filter(F.col("kind") == "trkpt")), cfg)
+    wpt = with_pair_tiles(
+        paired_points(points.filter(F.col("kind") == "wpt")), cfg) \
         .filter(F.col("z") > F.lit(cfg.z_no_wpts))
     both = trk.unionByName(wpt)
 
@@ -148,29 +138,9 @@ def census_accesses(points: DataFrame, cfg: EngineConfig) -> DataFrame:
         "z", F.col("p_tx").alias("tx"), F.col("p_ty").alias("ty"), *key,
         F.lit(1).alias("slot"), F.lit(0).alias("k"))
 
-    # slot 2: circle rect (x inner, y outer), wpts only
-    r = cfg.point_circle_diameter
-    zmax_tiles = F.pow(F.lit(2.0), F.col("z")).cast("int") - F.lit(1)
-
-    def clamp(c):
-        return F.least(F.greatest(c, F.lit(0)), zmax_tiles)
-
-    def cdiv(c):  # C truncating division by 256
-        return (c.cast("double") / F.lit(256.0)).cast("int")
-
-    wp = with_pixel(wpt)
-    wp = (wp.withColumn("lt_x", clamp(F.when(
-              F.col("px") - r < 0,
-              F.col("tx") + cdiv(F.col("px") - F.lit(r)) - 1).otherwise(F.col("tx"))))
-          .withColumn("lt_y", clamp(F.when(
-              F.col("py") - r < 0,
-              F.col("ty") + cdiv(F.col("py") - F.lit(r)) - 1).otherwise(F.col("ty"))))
-          .withColumn("rb_x", clamp(F.when(
-              F.col("px") + r > TILE_W,
-              F.col("tx") + cdiv(F.col("px") + F.lit(r))).otherwise(F.col("tx"))))
-          .withColumn("rb_y", clamp(F.when(
-              F.col("py") + r > TILE_W,
-              F.col("ty") + cdiv(F.col("py") + F.lit(r))).otherwise(F.col("ty")))))
+    # slot 2: circle rect (x inner, y outer), wpts only — the SAME
+    # shared bounds the circle event builder uses (circle_rect_bounds)
+    wp = circle_rect_bounds(with_pixel(wpt), cfg.point_circle_diameter)
     circles = (wp.withColumn("cx", F.explode(F.sequence(F.col("lt_x"), F.col("rb_x"))))
                .withColumn("cy", F.explode(F.sequence(F.col("lt_y"), F.col("rb_y"))))
                .select("z", F.col("cx").alias("tx"), F.col("cy").alias("ty"),

@@ -106,23 +106,66 @@ def paired_points(points: DataFrame) -> DataFrame:
     )
 
 
-def build_events(points: DataFrame, cfg: EngineConfig) -> DataFrame:
-    """The full event relation for speed-color (default) or heatmap mode."""
-    trk = paired_points(points.filter(F.col("kind") == "trkpt"))
-    # hoist the zoom-independent trig ABOVE the zoom explode: the Mercator
-    # fractions are computed once per point instead of once per (point,
-    # zoom) — bit-identical because floor(frac * 2^z) is the C code's own
-    # association (slippy-map.h:10-21)
-    trk = (trk.withColumn("_xf", P.xfrac_col(F.col("lon")))
-              .withColumn("_yf", P.yfrac_col(F.col("lat")))
-              .withColumn("_pxf", P.xfrac_col(F.col("prev_lon")))
-              .withColumn("_pyf", P.yfrac_col(F.col("prev_lat"))))
-    trk = with_zooms(trk, cfg)
+def with_pair_tiles(paired: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Per-zoom tile coords (tx, ty, p_tx, p_ty) for a paired
+    (lat, lon, prev_lat, prev_lon) relation.
+
+    Hoists the zoom-independent trig ABOVE the zoom explode: the
+    Mercator fractions are computed once per point instead of once per
+    (point, zoom) — bit-identical because floor(frac * 2^z) is the C
+    code's own association (slippy-map.h:10-21).  Shared by
+    build_events and the census access relation (operators/dump.py) so
+    the two can never diverge."""
+    df = (paired.withColumn("_xf", P.xfrac_col(F.col("lon")))
+          .withColumn("_yf", P.yfrac_col(F.col("lat")))
+          .withColumn("_pxf", P.xfrac_col(F.col("prev_lon")))
+          .withColumn("_pyf", P.yfrac_col(F.col("prev_lat"))))
+    df = with_zooms(df, cfg)
     zpow = F.pow(F.lit(2.0), F.col("z"))
-    trk = (trk.withColumn("tx", F.floor(F.col("_xf") * zpow).cast("int"))
+    return (df.withColumn("tx", F.floor(F.col("_xf") * zpow).cast("int"))
               .withColumn("ty", F.floor(F.col("_yf") * zpow).cast("int"))
               .withColumn("p_tx", F.floor(F.col("_pxf") * zpow).cast("int"))
               .withColumn("p_ty", F.floor(F.col("_pyf") * zpow).cast("int")))
+
+
+def circle_rect_bounds(df: DataFrame, r: int) -> DataFrame:
+    """lt/rb neighbor-tile-rect bounds of a point circle
+    (neigh_tile_circle, gpx2tiles.c:531-556), incl. the reference's
+    quirks: C truncating integer division by 256 (negative numerators
+    round toward zero) and the `px + r > TILE_W` comparison reused for
+    the Y axis (width-for-height).  Input needs (z, tx, ty, px, py);
+    adds lt_x/lt_y/rb_x/rb_y.  Shared by the circle event builder and
+    the census access relation."""
+    zmax_tiles = F.pow(F.lit(2.0), F.col("z")).cast("int") - F.lit(1)
+
+    def clamp(c: Column) -> Column:  # xy_out_of_range (gpx2tiles.c:518-529)
+        return F.least(F.greatest(c, F.lit(0)), zmax_tiles)
+
+    def cdiv(c: Column) -> Column:  # C truncating integer division by 256
+        return (c.cast("double") / F.lit(256.0)).cast("int")
+
+    return (df.withColumn("lt_x", clamp(F.when(
+                F.col("px") - r < 0,
+                F.col("tx") + cdiv(F.col("px") - F.lit(r)) - 1)
+                .otherwise(F.col("tx"))))
+            .withColumn("lt_y", clamp(F.when(
+                F.col("py") - r < 0,
+                F.col("ty") + cdiv(F.col("py") - F.lit(r)) - 1)
+                .otherwise(F.col("ty"))))
+            .withColumn("rb_x", clamp(F.when(
+                F.col("px") + r > TILE_W,
+                F.col("tx") + cdiv(F.col("px") + F.lit(r)))
+                .otherwise(F.col("tx"))))
+            .withColumn("rb_y", clamp(F.when(
+                F.col("py") + r > TILE_W,  # sic: W, not H (the C quirk)
+                F.col("ty") + cdiv(F.col("py") + F.lit(r)))
+                .otherwise(F.col("ty")))))
+
+
+def build_events(points: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """The full event relation for speed-color (default) or heatmap mode."""
+    trk = with_pair_tiles(
+        paired_points(points.filter(F.col("kind") == "trkpt")), cfg)
     # the expensive inverse-Mercator PIXEL projection stays deferred per
     # branch so it runs on exactly the rows that need it (stamps: cur
     # endpoint on all rows; line branches: prev endpoint post-filter)
@@ -299,23 +342,9 @@ def _wpt_circles(wz: DataFrame, cfg: EngineConfig) -> DataFrame:
     toward zero — for d in (-256, 0), d/256 == 0.
     """
     r = cfg.point_circle_diameter
-    zmax_tiles = F.pow(F.lit(2.0), F.col("z")).cast("int") - F.lit(1)
-
-    def clamp(c: Column) -> Column:  # xy_out_of_range (gpx2tiles.c:518-529)
-        return F.least(F.greatest(c, F.lit(0)), zmax_tiles)
-
-    def cdiv(c: Column) -> Column:  # C truncating integer division by 256
-        return (c.cast("double") / F.lit(256.0)).cast("int")
-
-    lt_x = clamp(F.when(F.col("px") - r < 0, F.col("tx") + cdiv(F.col("px") - F.lit(r)) - 1).otherwise(F.col("tx")))
-    lt_y = clamp(F.when(F.col("py") - r < 0, F.col("ty") + cdiv(F.col("py") - F.lit(r)) - 1).otherwise(F.col("ty")))
-    rb_x = clamp(F.when(F.col("px") + r > TILE_W, F.col("tx") + cdiv(F.col("px") + F.lit(r))).otherwise(F.col("tx")))
-    rb_y = clamp(F.when(F.col("py") + r > TILE_W, F.col("ty") + cdiv(F.col("py") + F.lit(r))).otherwise(F.col("ty")))
-
     c0 = F.lit((r + TILE_W) // TILE_W)  # the off-by-one center offset
     return (
-        wz.withColumn("lt_x", lt_x).withColumn("lt_y", lt_y)
-        .withColumn("rb_x", rb_x).withColumn("rb_y", rb_y)
+        circle_rect_bounds(wz, r)
         .withColumn("cx", F.explode(F.sequence(F.col("lt_x"), F.col("rb_x"))))
         .withColumn("cy", F.explode(F.sequence(F.col("lt_y"), F.col("rb_y"))))
         .select(

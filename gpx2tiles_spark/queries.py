@@ -1953,6 +1953,10 @@ def q_streaming_windowed_counts(spark, sf_dir):
         F.col("window_start").cast("timestamp").cast("double").cast("long")
         .alias("win_start_s"), "tx", "ty", "point_cnt").persist())
     out.count()
+    # the memory-sink table is fully materialized — the staged event
+    # copy (a full coalesced events parquet) must not leak per run
+    import shutil
+    shutil.rmtree(tmp, ignore_errors=True)
     return out
 
 
@@ -2038,6 +2042,8 @@ def q_streaming_interval_join(spark, sf_dir):
     q.awaitTermination(300)
     out = spark.table(name).select("event_id", "alert_id").persist()
     out.count()
+    import shutil
+    shutil.rmtree(tmp, ignore_errors=True)
     return out
 
 
@@ -2056,7 +2062,12 @@ def _census_mtf_sql(zmin: int, zmax: int) -> str:
            " / PI()) / 2.0) * POW(2.0, z)) AS INT)")
     ptye = ("CAST(FLOOR(((1.0 - LN(TAN(RADIANS(plat)) + 1.0/COS(RADIANS(plat)))"
             " / PI()) / 2.0) * POW(2.0, z)) AS INT)")
-    seq = ("printf('%s|%07d|%05d|%d|%09d', doc_id, seg_order, pt_idx, "
+    # Field widths give headroom far past any plausible segment
+    # (10^9 points / 10^8 segments); the lexicographic string order
+    # equals Spark's numeric struct order ONLY while every component
+    # fits its width and doc_id is fixed-width ('doc%08d' here — a
+    # variable-width id where one is another's prefix would diverge).
+    seq = ("printf('%s|%08d|%09d|%d|%09d', doc_id, seg_order, pt_idx, "
            "{slot}, {k})")
     # C truncating integer division by 256 (negative numerators!)
     cdiv = "CAST(TRUNC(({v}) / 256.0) AS INT)"
@@ -2160,13 +2171,15 @@ def q_census_mtf_order(spark, sf_dir):
     from .config import EngineConfig
     from .operators.dump import census_ordered_tiles
 
-    _points_cache(spark, sf_dir)
+    # ONE parse: the cache write runs parse_documents and materializes
+    # exactly the columns census needs — read it back instead of
+    # re-deriving the parse (the documented repeated-parse plan trap)
+    path = _points_cache(spark, sf_dir)
     cfg = EngineConfig(zoom_min=5, zoom_max=18)
-    pts = parse_documents(_sf_docs(spark, sf_dir)).persist()
+    pts = spark.read.parquet(path)
     out = census_ordered_tiles(pts, cfg) \
         .select("z", "tx", "ty", "point_cnt", "pos").persist()
     out.count()
-    pts.unpersist()
     return out
 
 

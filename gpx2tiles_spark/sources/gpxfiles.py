@@ -61,7 +61,11 @@ def read_gpx_documents(spark: SparkSession, paths: list[str] | str,
                   for x in (F.lit(p), F.array(*[F.lit(i) for i in idxs]))])
             # binaryFile paths come back URI-qualified; strip the scheme
             stripped = F.regexp_replace(F.col("path"), "^file:", "")
-            found = F.element_at(mapping, stripped)
+            # try_element_at, not element_at: under Spark 4's ANSI
+            # default a missing map key THROWS inside element_at before
+            # the isNull() guard can fire — the try_ variant returns
+            # NULL so the crafted diagnostic below is the error users see
+            found = F.try_element_at(mapping, stripped)
             # fail loudly on a lookup miss instead of emitting NULL
             # doc_ids (which would collapse painter order downstream)
             checked = F.when(

@@ -64,8 +64,6 @@ def parse_bdf(path: str) -> dict[str, list[int]]:
             for i, hx in enumerate(rows_hex):
                 bits = int(hx, 16)
                 nbytes = len(hx) // 2
-                # left-align to the cell, honouring the x offset
-                row = (bits << (8 * (0))) >> 0
                 # BDF rows are MSB-left padded to byte; shift into a
                 # byte-wide MSB-left 6-bit cell row
                 row = bits >> (8 * nbytes - 8)  # keep leftmost byte
