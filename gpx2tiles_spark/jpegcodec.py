@@ -92,6 +92,9 @@ class _BitWriter:
             self.out.append(b)
             if b == 0xFF:           # byte stuffing
                 self.out.append(0x00)
+        # drop emitted bits — an unbounded bigint acc makes every shift
+        # O(stream length), i.e. quadratic encode (ADVICE r04 #1)
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self) -> bytes:
         if self.nbits:
@@ -108,15 +111,21 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG (entropy data exhausted)")
         b = self.data[self.pos]
         self.pos += 1
         if b == 0xFF:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG (entropy data exhausted)")
             nxt = self.data[self.pos]
             if nxt == 0x00:
                 self.pos += 1            # stuffed byte
             else:
                 raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
-        self.acc = (self.acc << 8) | b
+        # mask consumed bits before accumulating (same quadratic-bigint
+        # trap as the writer — ADVICE r04 #1)
+        self.acc = ((self.acc & ((1 << self.nbits) - 1)) << 8) | b
         self.nbits += 8
 
     def bit(self) -> int:
@@ -416,13 +425,21 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG (marker cut short)")
         marker = struct.unpack_from(">H", data, pos)[0]
         pos += 2
         if marker == 0xFFD9:
             break
+        if marker == 0xFF01 or 0xFFD0 <= marker <= 0xFFD7:
+            continue                     # TEM/RSTn: standalone, no length
         if marker in (0xFFC2, 0xFFC1, 0xFFC3):
             raise ValueError("unsupported JPEG (need baseline SOF0)")
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG (segment length cut short)")
         (ln,) = struct.unpack_from(">H", data, pos)
+        if ln < 2 or pos + ln > len(data):
+            raise ValueError("truncated JPEG (segment body cut short)")
         payload = data[pos + 2: pos + ln]
         pos += ln
         if marker == 0xFFDB:
@@ -462,6 +479,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             # entropy data runs until the next real marker (EOI)
             end = pos
             while True:
+                if end + 1 >= len(data):
+                    raise ValueError("truncated JPEG (file ends mid-scan)")
                 if data[end] == 0xFF and data[end + 1] not in (0x00,):
                     break
                 end += 1

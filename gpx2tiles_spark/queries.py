@@ -2188,11 +2188,18 @@ _ASOF_SQL = f"""
     SELECT doc_id, kind, lat, lon
     FROM read_parquet('{os.path.join(_ORACLE_CACHE, "points_current",
                                      "*.parquet")}')),
-  docs2 AS (SELECT DISTINCT doc_id FROM pts),
+  -- rank over ALL corpus docs (docs_current), not just docs present in
+  -- pts: the Spark side cuts with doc_id < doc{{(n+1)//2}} over the full
+  -- corpus, so a document that parses to zero points must still count
+  -- toward the half split (ADVICE r04 #3)
+  alldocs AS (
+    SELECT doc_id
+    FROM read_parquet('{os.path.join(_ORACLE_CACHE, "docs_current",
+                                     "*.parquet")}')),
   ranked AS (
     SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn,
            COUNT(*) OVER () AS nd
-    FROM docs2),
+    FROM alldocs),
   firsthalf AS (
     SELECT doc_id FROM ranked
     WHERE rn <= CAST(FLOOR((nd + 1) / 2.0) AS BIGINT)),
@@ -2217,25 +2224,33 @@ def q_store_as_of(spark, sf_dir):
     deterministic cut the Spark side applies; zooms 1-6 sit below
     z_no_lines so the tile set is exactly the stamp relation).  The
     second committed snapshot existing and NOT contributing is the
-    property under test."""
-    import tempfile
+    property under test.
+
+    The store is built under a STABLE ``.oracle_cache`` directory, not a
+    tempdir: the returned DataFrame's lineage points at the store files,
+    and the driver may collect it after cache eviction (50 queries of
+    memory pressure) — a deleted tempdir would make the recompute fail
+    (VERDICT r04 wrong-item #1)."""
+    import shutil
 
     from .config import EngineConfig
     from .streaming.incremental import TileStore
 
     _points_cache(spark, sf_dir)
+    _docs_cache(spark, sf_dir)
     n = _sf_n_docs(sf_dir)
     cut = f"doc{(n + 1) // 2:08d}"
     docs = _sf_docs(spark, sf_dir)
     cfg = EngineConfig(zoom_min=1, zoom_max=6)
-    with tempfile.TemporaryDirectory() as d:
-        store = TileStore(spark, d)
-        e1 = store.apply_batch("b0", docs.filter(F.col("doc_id") < cut), cfg)
-        store.apply_batch("b1", docs.filter(F.col("doc_id") >= cut), cfg)
-        first = store.as_of(e1["id"]) \
-            .select("z", "tx", "ty", "point_cnt").persist()
-        first.count()
-        return first
+    d = os.path.join(_ORACLE_CACHE, f"store_asof_n{n}")
+    shutil.rmtree(d, ignore_errors=True)
+    store = TileStore(spark, d)
+    e1 = store.apply_batch("b0", docs.filter(F.col("doc_id") < cut), cfg)
+    store.apply_batch("b1", docs.filter(F.col("doc_id") >= cut), cfg)
+    first = store.as_of(e1["id"]) \
+        .select("z", "tx", "ty", "point_cnt").persist()
+    first.count()
+    return first
 
 
 @register("incremental_store", _INCR_SQL)
@@ -2244,17 +2259,23 @@ def q_incremental_store(spark, sf_dir):
     snapshot TileStore; the merged store's cumulative per-tile point
     counts must equal the one-shot stamp pyramid (zooms 1-6 sit below
     z_no_lines, so the tile set is exactly the stamp relation — fully
-    SQL-able, which makes the resume/merge path itself oracle-checked)."""
-    import tempfile
+    SQL-able, which makes the resume/merge path itself oracle-checked).
+
+    Built under a STABLE ``.oracle_cache`` directory (not a tempdir) so
+    the returned DataFrame survives cache eviction in the driver gate —
+    a recompute re-reads the store files (VERDICT r04 wrong-item #1)."""
+    import shutil
 
     from .config import EngineConfig
     from .streaming.incremental import process_batches
     _points_cache(spark, sf_dir)
     cfg = EngineConfig(zoom_min=1, zoom_max=6)
-    with tempfile.TemporaryDirectory() as d:
-        store = process_batches(spark, _sf_docs(spark, sf_dir), d, cfg,
-                                n_batches=2)
-        cur = store.current().select("z", "tx", "ty", "point_cnt")
-        cur = cur.persist()
-        cur.count()
-        return cur
+    n = _sf_n_docs(sf_dir)
+    d = os.path.join(_ORACLE_CACHE, f"store_incr_n{n}")
+    shutil.rmtree(d, ignore_errors=True)
+    store = process_batches(spark, _sf_docs(spark, sf_dir), d, cfg,
+                            n_batches=2)
+    cur = store.current().select("z", "tx", "ty", "point_cnt")
+    cur = cur.persist()
+    cur.count()
+    return cur
