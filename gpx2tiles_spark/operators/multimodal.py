@@ -12,20 +12,25 @@ stdlib/numpy parsers shipped in this repo:
            structural parser (quantizers from DQT, Huffman from DHT).
   wav    — genuine RIFF/WAVE 16-bit PCM mono containers, chunk-walked
            by ``decode_wav``; the feature plane is the real amplitude.
+  adpcm  — genuine COMPRESSED audio: RIFF/WAVE IMA ADPCM containers
+           (format tag 0x11, 4-bit adaptive DPCM) encoded and decoded
+           by the repo's own ``adpcmcodec``.
   pngseq — a frame-sequence video stand-in whose every SAMPLED frame
            is really PNG-decoded (``decode_pngseq_frames`` — skipped
            frames are never decompressed, the point of frame sampling
            at scale).
 
-Only compressed A/V kinds with no in-container codec (mp3/mp4) fall
-back to the clearly-marked deterministic stand-in ``_fake_decode``;
-swapping that for ffmpeg is a one-function change on the executors.
+Every media kind the engine emits has a REAL in-repo decoder — there
+is no fake/stub path (retired round 5); an unknown kind raises, and a
+production deployment plugs ffmpeg in behind a new branch of
+``decode_luma`` on the executors.
 
 Synthetic payloads have CLOSED-FORM byte lengths (PNG at deflate level
-0: ``68 + height*(1 + 4*width)``; WAV: ``44 + 2*n_samples``; pngseq:
-``4 + n_frames*(4 + png_len)``), which keeps the ``multimodal_meta`` /
-``multimodal_av_meta`` n_bytes columns expressible in DuckDB oracle SQL
-even though the payloads are real container formats.
+0: ``68 + height*(1 + 4*width)``; WAV: ``44 + 2*n_samples``; ADPCM WAV:
+``60 + 256*n_blocks``; pngseq: ``4 + n_frames*(4 + png_len)``), which
+keeps the ``multimodal_meta`` / ``multimodal_av_meta`` n_bytes columns
+expressible in DuckDB oracle SQL even though the payloads are real
+container formats.
 """
 
 from __future__ import annotations
@@ -125,16 +130,51 @@ def synth_wav_len(n_samples: int) -> int:
     return 44 + 2 * n_samples
 
 
+def synth_adpcm_wav(seed_bytes: bytes, n_blocks: int,
+                    block_align: int = 256, rate: int = 8000) -> bytes:
+    """Deterministic synthetic COMPRESSED audio object: a real RIFF/WAVE
+    container with IMA ADPCM payload (format tag 0x0011, mono, 4-bit) —
+    genuinely entropy-reduced audio through the repo's own
+    ``adpcmcodec`` encoder.  The signal is a seeded random-walk (smooth,
+    so the adaptive step tracker actually adapts).  Byte length is
+    closed-form: 60 header bytes (RIFF + 20-byte fmt + fact + data
+    headers) + ``n_blocks * block_align`` payload bytes."""
+    import struct
+
+    from ..adpcmcodec import encode_blocks, samples_per_block
+
+    spb = samples_per_block(block_align)
+    n_samples = n_blocks * spb
+    seed = int.from_bytes(hashlib.md5(seed_bytes).digest()[:8], "big")
+    rng = np.random.default_rng(np.random.Philox(key=seed ^ 0xADCF))
+    walk = np.cumsum(rng.integers(-600, 601, size=n_samples))
+    pcm = np.clip(walk, -32768, 32767).astype(np.int16)
+    data = encode_blocks(pcm, block_align)
+    hdr = (b"RIFF" + struct.pack("<I", 52 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHHHH", 20, 0x11, 1, rate,
+                                   rate * block_align // spb, block_align,
+                                   4, 2, spb)
+           + b"fact" + struct.pack("<II", 4, n_samples)
+           + b"data" + struct.pack("<I", len(data)))
+    return hdr + data
+
+
+def synth_adpcm_wav_len(n_blocks: int, block_align: int = 256) -> int:
+    return 60 + n_blocks * block_align
+
+
 def decode_wav(data: bytes) -> np.ndarray:
-    """RIFF/WAVE (16-bit PCM mono) → int16 sample array.  Walks the
-    chunk list like a real parser — fmt validated, data extracted."""
+    """RIFF/WAVE → int16 sample array.  Walks the chunk list like a
+    real parser — fmt validated, data extracted — and dispatches on the
+    format tag: 0x0001 = 16-bit PCM mono (raw samples), 0x0011 = IMA
+    ADPCM mono (REAL decompression through ``adpcmcodec``)."""
     import struct
 
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a WAV")
     pos = 12
     fmt = None
-    samples = None
+    body_data = None
     while pos + 8 <= len(data):
         tag = data[pos:pos + 4]
         (ln,) = struct.unpack_from("<I", data, pos + 4)
@@ -143,12 +183,15 @@ def decode_wav(data: bytes) -> np.ndarray:
         if tag == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif tag == b"data":
-            samples = np.frombuffer(body, dtype="<i2")
-    if fmt is None or samples is None:
+            body_data = body
+    if fmt is None or body_data is None:
         raise ValueError("WAV missing fmt/data chunk")
-    if fmt[0] != 1 or fmt[1] != 1 or fmt[5] != 16:
-        raise ValueError("unsupported WAV (need 16-bit PCM mono)")
-    return samples
+    if fmt[0] == 1 and fmt[1] == 1 and fmt[5] == 16:
+        return np.frombuffer(body_data, dtype="<i2")
+    if fmt[0] == 0x11 and fmt[1] == 1 and fmt[5] == 4:
+        from ..adpcmcodec import decode_blocks
+        return decode_blocks(body_data, block_align=fmt[4])
+    raise ValueError("unsupported WAV (need 16-bit PCM or IMA ADPCM mono)")
 
 
 def synth_pngseq(seed_bytes: bytes, width: int, height: int,
@@ -191,20 +234,6 @@ def decode_pngseq_frames(data: bytes, every: int = 1) -> list[np.ndarray]:
     return frames
 
 
-def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
-    """STUB: deterministic stand-in for media kinds with no in-container
-    codec — since round 4 that is only compressed A/V containers
-    (mp3/mp4); png, jpeg, wav and pngseq all have REAL in-repo decoders
-    and never reach this.
-
-    Real deployments replace this with ffmpeg on the executor; the fake
-    derives a (h, w) plane from the payload bytes so downstream shapes
-    and statistics stay real and reproducible."""
-    seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "big")
-    rng = np.random.default_rng(seed)
-    return rng.integers(0, 256, size=(height, width), dtype=np.uint8)
-
-
 def decode_luma(payload: bytes, media_kind: str,
                 width: int, height: int) -> np.ndarray:
     """payload → (h, w) float64 intensity plane in [0, 255].
@@ -216,11 +245,15 @@ def decode_luma(payload: bytes, media_kind: str,
       wav    — RIFF 16-bit PCM parse; the (1, n_samples) plane is the
                amplitude mapped linearly to 0..255 (metadata: width =
                n_samples, height = 1)
+      adpcm  — RIFF IMA ADPCM (format tag 0x11): 4-bit compressed audio
+               genuinely decompressed by adpcmcodec; same plane mapping
+               as wav
       pngseq — frame-sampled video stand-in: every 2nd frame is really
                PNG-decoded, the plane is the mean luma across sampled
                frames
-    Kinds with no in-container codec (mp3/mp4) fall back to the
-    declared fake."""
+    Any other kind is an explicit error — there is NO fake path; a
+    production deployment plugs external codecs (ffmpeg on the
+    executors) in behind a new media_kind branch here."""
     if media_kind == "png":
         rgba = decode_png(bytes(payload))
         if rgba.shape[:2] != (height, width):
@@ -235,7 +268,7 @@ def decode_luma(payload: bytes, media_kind: str,
                 f"decoded JPEG is {rgb.shape[1]}x{rgb.shape[0]}, "
                 f"metadata says {width}x{height}")
         return rgb.astype(np.float64) @ _LUMA_W
-    if media_kind == "wav":
+    if media_kind in ("wav", "adpcm"):
         samples = decode_wav(bytes(payload))
         if len(samples) != width or height != 1:
             raise ValueError(
@@ -249,7 +282,9 @@ def decode_luma(payload: bytes, media_kind: str,
             raise ValueError("decoded frame size mismatches metadata")
         lumas = [f[..., :3].astype(np.float64) @ _LUMA_W for f in frames]
         return np.mean(lumas, axis=0)
-    return _fake_decode(bytes(payload), width, height).astype(np.float64)
+    raise ValueError(
+        f"no in-repo decoder for media kind {media_kind!r}; route such "
+        f"media through an external decoder (ffmpeg) on the executors")
 
 
 @F.pandas_udf(T.BinaryType())
@@ -316,6 +351,8 @@ def _synth_av_udf(kind: pd.Series, ref: pd.Series, w: pd.Series,
     for k, r, wi, hi, f in zip(kind, ref, w, h, nf):
         if k == "wav":
             out.append(synth_wav(r.encode("utf-8"), int(wi)))
+        elif k == "adpcm":
+            out.append(synth_adpcm_wav(r.encode("utf-8"), int(f)))
         elif k == "pngseq":
             out.append(synth_pngseq(r.encode("utf-8"), int(wi), int(hi),
                                     int(f)))
@@ -330,11 +367,12 @@ def media_table_av_from_flat_docs(documents: DataFrame) -> DataFrame:
     """Audio + video MEDIA_SCHEMA table from a flat documents table:
     every 4th document owns a real WAV (16-bit PCM mono; width =
     n_samples, height = 1), every 4th+1 a real PNG frame sequence
-    (width/height = frame dims).  All metadata arithmetic — including
-    n_bytes, thanks to the closed-form container sizes — is
-    SQL-expressible, so the whole A/V decode path has an exact DuckDB
-    metadata oracle (the pixel/sample-derived stats are pytest-covered:
-    they come from genuinely parsed containers)."""
+    (width/height = frame dims), every 4th+2 a real COMPRESSED audio
+    container (IMA ADPCM WAV; width = n_samples = 505 per block).  All
+    metadata arithmetic — including n_bytes, thanks to the closed-form
+    container sizes — is SQL-expressible, so the whole A/V decode path
+    has an exact DuckDB metadata oracle (the pixel/sample-derived stats
+    are pytest-covered: they come from genuinely parsed containers)."""
     base = documents.select("doc_id", F.md5("text").alias("h"))
     wav = base.filter(F.col("doc_id") % 4 == 0).select(
         F.col("doc_id").cast("string").alias("doc_id"),
@@ -352,7 +390,17 @@ def media_table_av_from_flat_docs(documents: DataFrame) -> DataFrame:
         (F.col("doc_id") % 32 + 16).cast("int").alias("width"),
         ((F.col("doc_id") * 5 + 7) % 32 + 16).cast("int").alias("height"),
         (F.col("doc_id") % 6 + 2).cast("int").alias("n_frames"))
-    sized = wav.unionByName(seq)
+    # compressed audio: n_frames doubles as the ADPCM block count;
+    # width = n_samples = 505 * blocks (samples_per_block at align 256)
+    adp = base.filter(F.col("doc_id") % 4 == 2).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit(2).alias("span_idx"),
+        F.concat(F.lit("media://adpcm/"), F.col("h")).alias("media_ref"),
+        F.lit("adpcm").alias("media_kind"),
+        ((F.col("doc_id") % 3 + 1) * 505).cast("int").alias("width"),
+        F.lit(1).alias("height"),
+        (F.col("doc_id") % 3 + 1).cast("int").alias("n_frames"))
+    sized = wav.unionByName(seq).unionByName(adp)
     return sized.select(
         "doc_id", "span_idx", "media_ref",
         _synth_av_udf("media_kind", "media_ref", "width", "height",

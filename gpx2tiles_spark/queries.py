@@ -1722,17 +1722,27 @@ def q_multimodal_meta(spark, sf_dir):
                        * (1 + 4 * (doc_id % 32 + 16))) AS INT) AS n_bytes,
            CAST(doc_id % 32 + 16 AS INT) AS width,
            CAST((doc_id * 5 + 7) % 32 + 16 AS INT) AS height
-    FROM base WHERE doc_id % 4 = 1)
-  SELECT * FROM wav UNION ALL SELECT * FROM seq
+    FROM base WHERE doc_id % 4 = 1),
+  adp AS (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, 2 AS span_idx,
+           'media://adpcm/' || h AS media_ref, 'adpcm' AS media_kind,
+           -- IMA ADPCM WAV: 60 header bytes + 256 per block; one block
+           -- carries (256-4)*2+1 = 505 samples (= width)
+           CAST(60 + 256 * (doc_id % 3 + 1) AS INT) AS n_bytes,
+           CAST(505 * (doc_id % 3 + 1) AS INT) AS width, 1 AS height
+    FROM base WHERE doc_id % 4 = 2)
+  SELECT * FROM wav UNION ALL SELECT * FROM seq UNION ALL SELECT * FROM adp
 """)
 def q_multimodal_av_meta(spark, sf_dir):
     """Audio + video decode paths with a full metadata oracle: real WAV
-    containers (16-bit PCM mono, stdlib parse) and real PNG frame
-    sequences (every sampled frame genuinely decoded) flow through the
-    SAME mapInPandas extractor as images; n_bytes counts the actual
+    containers (16-bit PCM mono, stdlib parse), real PNG frame
+    sequences (every sampled frame genuinely decoded), and real
+    COMPRESSED audio (IMA ADPCM WAVs, genuinely decompressed by
+    adpcmcodec — round 5 retires the last decode stand-in) flow through
+    the SAME mapInPandas extractor as images; n_bytes counts the actual
     container bytes via the closed-form sizes, so an encoder or parser
     drift flips this row red.  Sample/pixel-derived stats are
-    pytest-covered (test_round4_ops)."""
+    pytest-covered (test_round4_ops, test_round5_ops)."""
     from .operators.multimodal import (media_features,
                                        media_table_av_from_flat_docs)
     media = media_table_av_from_flat_docs(_t(spark, sf_dir, "documents"))

@@ -59,15 +59,15 @@ def test_media_features_decodes_real_pixels(spark):
     assert [round(f, 5) for f in row.feature] == [round(100 / 255.0, 5)] * 3
 
 
-def test_media_features_nonpng_uses_declared_fake(spark):
-    """Kinds with no in-container codec (mp3/mp4 — png/jpeg/wav/pngseq
-    all decode for real) still flow through the declared deterministic
-    stand-in (documented stub, not silent)."""
+def test_media_features_unknown_kind_is_explicit_error(spark):
+    """There is NO fake decode path (retired round 5): a media kind with
+    no in-repo codec fails loudly, pointing at the external-decoder
+    hook, instead of silently producing made-up statistics."""
     media = spark.createDataFrame(
         [("d0", 0, "media://j", bytearray(b"notanmp4"), "mp4", 5, 5)],
         MEDIA_SCHEMA)
-    row = media_features(media).collect()[0]
-    assert 0 <= row.mean_luma_milli <= 255_000
+    with pytest.raises(Exception, match="no in-repo decoder"):
+        media_features(media).collect()
 
 
 def test_media_features_decodes_real_jpeg(spark):
@@ -226,7 +226,7 @@ def test_multimodal_av_meta_oracle(spark):
     want = con.execute(oracle_sql()["multimodal_av_meta"]).df() \
         .sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
     assert len(got) == len(want) > 0
-    assert set(got["media_kind"]) == {"wav", "pngseq"}
+    assert set(got["media_kind"]) == {"wav", "pngseq", "adpcm"}
     for c in ["doc_id", "media_ref", "media_kind", "n_bytes",
               "width", "height"]:
         assert got[c].tolist() == want[c].tolist(), c
