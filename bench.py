@@ -32,33 +32,39 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 def _timed_clean(fn, max_external: float = 1.5, attempts: int = 3,
                  max_quiet_wait: float = 45.0) -> tuple[float, dict]:
-    """Best CLEAN attempt of fn() (external busy cores < threshold for
-    the attempt's whole duration); falls back to the overall best and
-    says so.  Returns (seconds, noise-info)."""
-    from bench_scaling import Interference, _wait_quiet
+    """Best CLEAN attempt of fn(): external busy cores < threshold for
+    the attempt's whole duration AND the DRAM streaming probe at full
+    session bandwidth on both sides of it (the CPU meter is blind to
+    co-tenant bandwidth waves, which moved four untouched sub-4s plans
+    1.7-2.7x in r04 — VERDICT r04 wrong-item #2 / next-round #2).
+    Falls back to the overall best and says so.  Returns (sec, info)."""
+    from bench_scaling import Interference, _wait_quiet, bw_clean, probe_bw
 
     meter = Interference()
-    samples: list[tuple[float, float]] = []  # (wall, external)
+    samples: list[tuple[float, float, float]] = []  # (wall, external, bw)
     for k in range(attempts):
         if k > 0:
             _wait_quiet(max_external, max_wait=max_quiet_wait)
+        bw_pre = probe_bw()
         meter.start()
         t0 = time.time()
         fn()
         wall = time.time() - t0
         ext, _ = meter.stop()
-        samples.append((wall, ext))
-        clean = [s for s in samples if s[1] <= max_external]
+        samples.append((wall, ext, min(bw_pre, probe_bw())))
+        clean = [s for s in samples if s[1] <= max_external and bw_clean(s[2])]
         # two attempts with a clean best are enough for sub-minute work
         if len(clean) >= 1 and k >= 1:
             break
-    clean = [s for s in samples if s[1] <= max_external]
+    # re-filter against the FINAL session bandwidth high-water mark
+    clean = [s for s in samples if s[1] <= max_external and bw_clean(s[2])]
     best = min(clean or samples)
     walls = [s[0] for s in samples]
     return best[0], {
         "attempts": len(samples),
         "clean": bool(clean),
         "external_cores": round(best[1], 2),
+        "bw_gbps": round(best[2], 1),
         "spread_pct": round((max(walls) - min(walls)) / max(min(walls), 1e-9)
                             * 100.0, 1),
     }
@@ -139,6 +145,16 @@ def run_bench(sf_dir: str, cpus: int, n_render_docs: int | None = None):
     points.unpersist()
     docs.unpersist()
 
+    # ANN quality curve (VERDICT r04 #7): recall@10 vs n_probe / n_tables
+    # against the exact brute-force baseline — grades the approximation,
+    # not just the index math (which the oracles already hash-check)
+    from gpx2tiles_spark.operators import ann
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")) \
+        .select("vec_id", "embedding")
+    qvecs = emb.orderBy("vec_id").limit(25).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_embedding"))
+    ann_recall = ann.recall_curves(emb, qvecs)
+
     # value = sum of the per-query BEST-CLEAN timings (comparable to the
     # r01/r02 single-shot wall, which was ~the sum of its timings);
     # wall_sec additionally counts quiet-gate waits and rejected attempts
@@ -158,6 +174,7 @@ def run_bench(sf_dir: str, cpus: int, n_render_docs: int | None = None):
         "tile_assignments": n_assign,
         "tile_assignments_per_sec": round(n_assign / render_sec, 1),
         "points_parsed_per_sec": round(n_points / parse_sec, 1),
+        "ann_recall": ann_recall,
         "noise": noise,
     }
     spark.stop()

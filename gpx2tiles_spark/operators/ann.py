@@ -325,6 +325,42 @@ def cosine_topk_ivf(vectors: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
+def recall_curves(vectors: DataFrame, queries: DataFrame, k: int = 10,
+                  n_cells: int = 16,
+                  probe_grid: tuple[int, ...] = (1, 2, 4, 8),
+                  table_grid: tuple[int, ...] = (1, 2, 4, 8, 16)) -> dict:
+    """ANN *quality* curves: recall@k of the IVF index vs ``n_probe``
+    and of the multi-table LSH index vs ``n_tables``, each against the
+    exact brute-force baseline.  The correctness oracles prove the
+    index math; this grades the approximation itself (VERDICT r04 #7).
+    Every collect is bounded at n_queries x k rows."""
+
+    def topk_sets(df: DataFrame) -> dict[int, set[int]]:
+        sets: dict[int, set[int]] = {}
+        for r in df.select("qid", "vec_id").collect():
+            sets.setdefault(r.qid, set()).add(r.vec_id)
+        return sets
+
+    gt = topk_sets(cosine_topk_bruteforce(vectors, queries, k))
+    denom = sum(len(s) for s in gt.values())
+
+    def recall(res: dict[int, set[int]]) -> float:
+        return round(sum(len(res.get(q, set()) & s)
+                         for q, s in gt.items()) / denom, 4)
+
+    cents = kmeans_centroids(vectors, n_cells, n_iter=3)
+    out = {"k": k, "n_queries": len(gt),
+           "ivf_n_probe": {}, "lsh_n_tables": {}}
+    for p in probe_grid:
+        out["ivf_n_probe"][str(p)] = recall(topk_sets(cosine_topk_ivf(
+            vectors, queries, k, n_cells=n_cells, n_probe=p,
+            centroids=cents)))
+    for t in table_grid:
+        out["lsh_n_tables"][str(t)] = recall(topk_sets(cosine_topk_lsh(
+            vectors, queries, k, n_tables=t)))
+    return out
+
+
 def cosine_topk_lsh(vectors: DataFrame, queries: DataFrame, k: int = 10,
                     n_tables: int = 8, planes_per_table: int = 4,
                     dim: int = 64) -> DataFrame:

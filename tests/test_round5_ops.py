@@ -48,6 +48,25 @@ def test_ivf_seed_small_and_empty_corpus(spark):
         _seed_centroids(vecs.filter("vec_id < 0"), 16)
 
 
+def test_ann_recall_curves_monotone_and_exact_at_full_probe(spark):
+    """The quality dial must behave like a real ANN index: recall@k
+    rises with n_probe, and probing ALL cells is exhaustive (recall 1.0
+    — IVF with full probe degrades to brute force by construction)."""
+    from pyspark.sql import functions as F
+    from gpx2tiles_spark.operators.ann import recall_curves
+
+    emb = spark.read.parquet(
+        SF_SMOKE + "/embeddings.parquet").select("vec_id", "embedding")
+    qs = emb.orderBy("vec_id").limit(10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_embedding"))
+    out = recall_curves(emb, qs, k=5, n_cells=8, probe_grid=(1, 8),
+                        table_grid=(2, 16))
+    ivf, lsh = out["ivf_n_probe"], out["lsh_n_tables"]
+    assert ivf["1"] <= ivf["8"] == 1.0
+    assert lsh["2"] <= lsh["16"]
+    assert out["n_queries"] == 10 and out["k"] == 5
+
+
 def test_adpcm_roundtrip_tracks_signal():
     """IMA ADPCM is lossy but adaptive: on a random-walk signal the
     decoded stream must track the input closely, and decode(encode(x))

@@ -104,10 +104,50 @@ def _wait_quiet(max_external: float, max_wait: float = 240.0) -> None:
         time.sleep(8)
 
 
+_BW_HIGH = 0.0          # session-max single-thread streaming bandwidth
+BW_CLEAN_FRAC = 0.6     # attempt clean iff probe >= frac * session max
+
+
+def membench_gbps(n_mb: int = 128, reps: int = 3) -> float:
+    """Single-threaded DRAM streaming probe: best-of-``reps`` numpy copy
+    bandwidth in GB/s (read + write counted).  ~100 ms total.
+
+    The host's CPU-load meter cannot see DRAM-bandwidth waves from other
+    tenants (this substrate's stream bandwidth collapses 68 → 22 GB/s
+    under co-tenant pressure with near-zero external CPU — VERDICT r04
+    wrong-item #2); timing this probe around each attempt makes those
+    waves measurable, so attempts taken during a collapse can be
+    rejected instead of silently reported as regressions."""
+    import numpy as np
+
+    a = np.full(n_mb * 131072, 1.0, dtype=np.float64)   # n_mb MiB
+    b = np.empty_like(a)
+    best = 0.0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.copyto(b, a)
+        dt = time.perf_counter() - t0
+        best = max(best, 2 * a.nbytes / dt / 1e9)
+    return best
+
+
+def probe_bw() -> float:
+    """One membench sample, tracking the session high-water mark."""
+    global _BW_HIGH
+    bw = membench_gbps()
+    _BW_HIGH = max(_BW_HIGH, bw)
+    return bw
+
+
+def bw_clean(bw: float) -> bool:
+    return bw >= BW_CLEAN_FRAC * _BW_HIGH
+
+
 def _timed(fn, max_external: float = 1.5, attempts: int = 6
            ) -> tuple[float, float, float]:
     """Run fn() until an attempt sees < max_external external busy cores
-    for its whole duration; return (wall_sec, external_cores, cpu_sec) of
+    AND full DRAM streaming bandwidth (no co-tenant bandwidth wave) for
+    its whole duration; return (wall_sec, external_cores, cpu_sec) of
     the best clean attempt (falls back to the overall best if none is)."""
     best = None
     best_clean = None
@@ -115,14 +155,17 @@ def _timed(fn, max_external: float = 1.5, attempts: int = 6
     for k in range(attempts):
         if k > 0:
             _wait_quiet(max_external)
+        bw_pre = probe_bw()
         meter.start()
         t0 = time.time()
         fn()
         wall = time.time() - t0
         ext, cpu = meter.stop()
+        bw = min(bw_pre, probe_bw())
         if best is None or wall < best[0]:
             best = (wall, ext, cpu)
-        if ext <= max_external and (best_clean is None or wall < best_clean[0]):
+        if ext <= max_external and bw_clean(bw) \
+                and (best_clean is None or wall < best_clean[0]):
             best_clean = (wall, ext, cpu)
         if best_clean is not None and k >= 1:
             break  # one warm clean attempt is enough
