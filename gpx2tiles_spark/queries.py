@@ -1840,6 +1840,64 @@ _INCR_SQL = f"""
 """
 
 
+_GPX_ARRIVAL_SQL = """
+  WITH i AS (SELECT CAST(unnest(generate_series(0, 5)) AS INT) AS i),
+  j AS (SELECT CAST(unnest(generate_series(0, 3)) AS INT) AS j),
+  zs AS (SELECT CAST(unnest(generate_series(1, 6)) AS INT) AS z),
+  -- the same closed-form point grid the Spark side writes into the six
+  -- synthetic .gpx drop files (ROUND pins the doubles to the decimal
+  -- literals the files carry)
+  pts AS (
+    SELECT ROUND(47.5 + 0.31 * i, 4) AS lat, ROUND(7.9 + 0.27 * j, 4) AS lon
+    FROM i, j)
+  SELECT z,
+         CAST(FLOOR(((lon + 180.0) / 360.0) * POW(2.0, z)) AS INT) AS tx,
+         CAST(FLOOR(((1.0 - LN(TAN(RADIANS(lat)) + 1.0/COS(RADIANS(lat)))
+              / PI()) / 2.0) * POW(2.0, z)) AS INT) AS ty,
+         COUNT(*) AS point_cnt
+  FROM pts, zs
+  GROUP BY 1, 2, 3
+"""
+
+
+@register("streaming_gpx_arrival", _GPX_ARRIVAL_SQL)
+def q_streaming_gpx_arrival(spark, sf_dir):
+    """The reference's ``-0`` stdin file-arrival loop as a FULL oracle
+    row: six synthetic .gpx files (a closed-form lat/lon grid) land in a
+    drop directory, a binaryFile Structured Streaming source drains
+    them in two micro-batches (maxFilesPerTrigger=3 — the pipe-buffer
+    backpressure analogue, gpx2tiles.c:1098-1108), each batch feeding
+    the incremental TileStore via foreachBatch.  The CONVERGED store
+    state (zooms 1-6 = pure stamp relation) must equal the tile counts
+    DuckDB re-derives from the same grid via generate_series — the
+    stream's exactly-once file accounting and the store's cross-batch
+    merge are both under the hash."""
+    import shutil
+
+    from .config import EngineConfig
+    from .streaming.incremental import TileStore, run_gpx_streaming
+
+    base = os.path.join(_ORACLE_CACHE, "gpx_stream")
+    shutil.rmtree(base, ignore_errors=True)
+    drop = os.path.join(base, "drop")
+    os.makedirs(drop)
+    for i in range(6):
+        body = "".join(
+            f'<trkpt lat="{47.5 + 0.31 * i:.4f}" lon="{7.9 + 0.27 * j:.4f}">'
+            f"<time>2016-06-25T10:{i:02d}:{j:02d}Z</time></trkpt>"
+            for j in range(4))
+        with open(os.path.join(drop, f"t{i}.gpx"), "w") as f:
+            f.write(f"<gpx><trk><trkseg>{body}</trkseg></trk></gpx>")
+    cfg = EngineConfig(zoom_min=1, zoom_max=6)
+    q = run_gpx_streaming(spark, drop, os.path.join(base, "store"), cfg,
+                          max_files_per_trigger=3)
+    q.awaitTermination(300)
+    out = (TileStore(spark, os.path.join(base, "store")).current()
+           .select("z", "tx", "ty", "point_cnt").persist())
+    out.count()
+    return out
+
+
 @register("streaming_sessionize", """
   WITH s AS (
     SELECT user_id, event_id,

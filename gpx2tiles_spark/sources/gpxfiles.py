@@ -23,6 +23,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def binary_rows_to_documents(df: DataFrame, doc_id=None) -> DataFrame:
+    """``binaryFile`` rows (path, content, ...) → the canonical
+    ``documents(doc_id, spans)`` table.  Shared by the batch directory
+    read and the streaming file-arrival source (same decode, same span
+    shape — a file behaves identically whether it arrived up front or
+    mid-stream)."""
+    span = F.struct(
+        F.lit("gpx").alias("kind"),
+        F.decode(F.col("content"), "UTF-8").alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(0).alias("offset"),
+    )
+    return df.select((doc_id if doc_id is not None else F.col("path"))
+                     .alias("doc_id"), F.array(span).alias("spans"))
+
+
 def read_gpx_documents(spark: SparkSession, paths: list[str] | str,
                        ordered: bool = True) -> DataFrame:
     """Load GPX files as a documents table.
@@ -81,13 +97,7 @@ def read_gpx_documents(spark: SparkSession, paths: list[str] | str,
                 F.lit(":"), F.col("_path"))
         else:
             doc_id = F.col("path")
-    span = F.struct(
-        F.lit("gpx").alias("kind"),
-        F.decode(F.col("content"), "UTF-8").alias("text"),
-        F.lit(None).cast("string").alias("media_ref"),
-        F.lit(0).alias("offset"),
-    )
-    return df.select(doc_id.alias("doc_id"), F.array(span).alias("spans"))
+    return binary_rows_to_documents(df, doc_id)
 
 
 def read_gpx_file_list(spark: SparkSession, file_list: list[str]) -> DataFrame:

@@ -260,3 +260,60 @@ def run_streaming(spark: SparkSession, docs_dir: str, store_dir: str,
         .start()
     )
     return q
+
+
+def run_gpx_streaming(spark: SparkSession, gpx_dir: str, store_dir: str,
+                      cfg: EngineConfig | None = None,
+                      max_files_per_trigger: int = 4,
+                      checkpoint_dir: str | None = None,
+                      available_now: bool = True):
+    """The reference's ``-0`` stdin arrival loop as Structured Streaming.
+
+    gpx2tiles reads NUL-terminated file names from stdin and processes
+    each as it arrives, the pipe buffer providing natural backpressure
+    (gpx2tiles.c:1098-1108).  The Spark-native equivalent is a
+    ``binaryFile`` FILE-ARRIVAL source over a drop directory:
+
+    - arrival        = the file appearing in ``gpx_dir`` (the streaming
+      source lists new files per trigger, exactly-once via the
+      checkpoint's seen-files log);
+    - backpressure   = ``maxFilesPerTrigger`` bounds each micro-batch
+      like the pipe buffer bounds the reference's read loop;
+    - processing     = each micro-batch runs the SAME batch pipeline
+      (decode → parse → events → rasterize over the current store) via
+      foreachBatch into the incremental :class:`TileStore`, whose
+      manifest idempotence makes replays after a crash no-ops.
+
+    With ``available_now`` the query drains the directory and stops
+    (the reference's stdin-EOF exit); pass False for a continuous
+    micro-batch trigger."""
+    from ..sources.gpxfiles import binary_rows_to_documents
+
+    cfg = cfg or EngineConfig()
+    store = TileStore(spark, store_dir)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        store.apply_batch(f"gpx-epoch-{epoch_id:06d}",
+                          binary_rows_to_documents(batch_df), cfg)
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        # the binaryFile source's fixed schema, stated explicitly
+        # (streaming sources don't infer)
+        .schema("path string, modificationTime timestamp, "
+                "length long, content binary")
+        .option("pathGlobFilter", "*.gpx")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(gpx_dir)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation",
+                checkpoint_dir or os.path.join(store_dir,
+                                               "_stream_checkpoint"))
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -48,6 +48,60 @@ def test_ivf_seed_small_and_empty_corpus(spark):
         _seed_centroids(vecs.filter("vec_id < 0"), 16)
 
 
+def test_gpx_file_arrival_stream_equals_batch_render(spark, tmp_path):
+    """VERDICT r04 #8: the reference's -0 stdin arrival loop as a
+    Structured Streaming binaryFile source.  6 gpx files drained with
+    maxFilesPerTrigger=3 (>=2 triggers); the incremental TileStore's
+    converged state must equal the one-shot batch render of the same
+    directory."""
+    from pyspark.sql import functions as F
+    from gpx2tiles_spark.config import EngineConfig
+    from gpx2tiles_spark.operators.events import build_events
+    from gpx2tiles_spark.operators.parse import parse_documents
+    from gpx2tiles_spark.operators.raster import rasterize
+    from gpx2tiles_spark.sources.gpxfiles import read_gpx_documents
+    from gpx2tiles_spark.streaming.incremental import (TileStore,
+                                                       run_gpx_streaming)
+
+    gpx_dir = tmp_path / "drop"
+    gpx_dir.mkdir()
+    for i in range(6):
+        pts = "".join(
+            f'<trkpt lat="{47.5 + i * 0.31:.4f}" lon="{7.9 + j * 0.27:.4f}">'
+            f"<time>2016-06-25T10:{i:02d}:{j:02d}Z</time></trkpt>"
+            for j in range(4))
+        (gpx_dir / f"t{i}.gpx").write_text(
+            f"<gpx><trk><trkseg>{pts}</trkseg></trk></gpx>")
+
+    cfg = EngineConfig(zoom_min=1, zoom_max=6)
+    sdir = str(tmp_path / "store")
+    q = run_gpx_streaming(spark, str(gpx_dir), sdir, cfg,
+                          max_files_per_trigger=3)
+    q.awaitTermination(180)
+
+    store = TileStore(spark, sdir)
+    deltas = [s for s in store.manifest()["snapshots"]
+              if s["kind"] == "delta"]
+    assert len(deltas) == 2  # 6 files / maxFilesPerTrigger=3 → 2 batches
+
+    docs = read_gpx_documents(spark, str(gpx_dir))
+    oneshot = rasterize(build_events(parse_documents(docs), cfg), cfg)
+    want = {(r.z, r.tx, r.ty): r.point_cnt for r in
+            oneshot.select("z", "tx", "ty", "point_cnt").collect()}
+    got = {(r.z, r.tx, r.ty): r.point_cnt for r in
+           store.current().select("z", "tx", "ty", "point_cnt").collect()}
+    assert got == want and len(want) > 0
+
+    # exactly-once on restart: the drained checkpoint + manifest make a
+    # second run a no-op (the reference's re-run over the same stdin list
+    # would double-draw; the stream's seen-files log does better)
+    q2 = run_gpx_streaming(spark, str(gpx_dir), sdir, cfg,
+                           max_files_per_trigger=3)
+    q2.awaitTermination(120)
+    assert len([s for s in TileStore(spark, sdir).manifest()["snapshots"]
+                if s["kind"] == "delta"]) == 2
+
+
 def test_ann_recall_curves_monotone_and_exact_at_full_probe(spark):
     """The quality dial must behave like a real ANN index: recall@k
     rises with n_probe, and probing ALL cells is exhaustive (recall 1.0
