@@ -1202,7 +1202,9 @@ def q_knn_earth(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def _sf_n_docs(sf_dir: str) -> int:
-    return {"0.001": 12, "0.01": 40, "0.1": 120}.get(
+    # "1" = the synthesized .bench_sf1 decade (tools/bench_sf1.py):
+    # corpus queries run at 10x the sf0.1 document count there
+    return {"0.001": 12, "0.01": 40, "0.1": 120, "1": 1200}.get(
         sf_dir.rstrip("/").rsplit("sf", 1)[-1], 24)
 
 

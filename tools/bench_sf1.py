@@ -39,6 +39,22 @@ TILE_COPIES = 10
 RENDER_DOCS = 40_000  # 10× bench.py's sf0.1 render corpus
 
 
+VERSION = "2"  # v2: documents + embeddings tiled 10x too (r5 full sweep)
+
+
+def _tile10(df, id_col: str, copies: int = TILE_COPIES):
+    from pyspark.sql import functions as F
+
+    n = df.count()
+    others = [c for c in df.columns if c != id_col]
+    parts = [df.select((F.col(id_col) + k * n).alias(id_col), *others)
+             for k in range(copies)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def build_sf1(spark) -> None:
     from pyspark.sql import functions as F
 
@@ -56,11 +72,30 @@ def build_sf1(spark) -> None:
         out = out.unionByName(p)
     out.repartition(32).write.mode("overwrite") \
         .parquet(os.path.join(SF1_DIR, "events.parquet"))
+    # 10x documents/embeddings with disjoint id ranges (texts/vectors
+    # repeat — deliberately: 10 exact copies of every document is a
+    # worst-case near-dup/degenerate-bucket stress for the pair
+    # families, the case their caps exist for)
+    for t, idc in [("documents", "doc_id"), ("embeddings", "vec_id")]:
+        dst = os.path.join(SF1_DIR, f"{t}.parquet")
+        if os.path.islink(dst):
+            os.remove(dst)           # v1 layouts symlinked these
+        _tile10(spark.read.parquet(os.path.join(SF01, f"{t}.parquet")), idc) \
+            .repartition(16).write.mode("overwrite").parquet(dst)
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "documents", "embeddings"]:
+              "lineitem"]:
         dst = os.path.join(SF1_DIR, f"{t}.parquet")
         if not os.path.lexists(dst):
             os.symlink(os.path.join(SF01, f"{t}.parquet"), dst)
+    with open(os.path.join(SF1_DIR, "VERSION"), "w") as f:
+        f.write(VERSION)
+
+
+def ensure_sf1(spark) -> None:
+    vfile = os.path.join(SF1_DIR, "VERSION")
+    have = open(vfile).read() if os.path.exists(vfile) else ""
+    if have != VERSION:
+        build_sf1(spark)
 
 
 def main() -> int:
@@ -85,8 +120,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.time()
 
-    if not os.path.exists(os.path.join(SF1_DIR, "events.parquet")):
-        build_sf1(spark)
+    ensure_sf1(spark)
     n_events = spark.read.parquet(
         os.path.join(SF1_DIR, "events.parquet")).count()
 
