@@ -38,7 +38,14 @@ def _norm(a: Column) -> Column:
 def with_cosine(joined: DataFrame, vec_a: str = "embedding",
                 vec_b: str = "q_embedding") -> DataFrame:
     cos = _dot(F.col(vec_a), F.col(vec_b)) / (_norm(F.col(vec_a)) * _norm(F.col(vec_b)))
-    return joined.withColumn("cos_micro", F.floor(cos * 1000000.0).cast("long"))
+    # round-half-up micro units, NOT floor: self-pairs and exact-copy
+    # pairs sit exactly on the floor(1.0e6) boundary, and engines summing
+    # the dot in different orders land an ulp on either side of 1.0 —
+    # the .5 quantization boundary has no systematic value on it.  Same
+    # fix as cosine_topk_ivf (round 3); the sf1 10x-copy stress flipped
+    # the remaining floor sites in round 5.
+    return joined.withColumn(
+        "cos_micro", F.floor(cos * 1000000.0 + F.lit(0.5)).cast("long"))
 
 
 def cosine_topk_bruteforce(vectors: DataFrame, queries: DataFrame,
@@ -147,11 +154,22 @@ def embedding_near_dup(vectors: DataFrame, threshold_micro: int = 950_000,
     the scale shape is the same banded equi-join as MinHash/SimHash, with
     the same degenerate-bucket cap).
 
-    Returns (vec_a, vec_b, cos_micro) with vec_a < vec_b."""
+    Returns (vec_a, vec_b, cos_micro) with vec_a < vec_b.
+
+    Memory shape (the round-5 sf1 lesson): the bucket self-join and the
+    pair dedup move ID PAIRS ONLY — carrying both embedding arrays
+    through the join shuffled ~50 GB at a 20k-vector 10x-duplicate
+    stress and got the executor OOM-killed.  The arrays re-attach
+    afterwards via two joins of the (small, broadcastable at any
+    realistic dim-table size) vectors relation, and the exact re-check
+    runs as ONE Arrow pass with the sequential-over-dims accumulation
+    order the HOF expression and the DuckDB oracle use."""
     planes = _hyperplanes(dim, n_tables * planes_per_table)
     tables = [planes[t * planes_per_table:(t + 1) * planes_per_table]
               for t in range(n_tables)]
-    sigs = _bucketed_pandas(vectors, "embedding", "vec_id", tables)
+    sigs = _bucketed_pandas(vectors.select("vec_id", "embedding"),
+                            "embedding", "vec_id", tables) \
+        .select("vec_id", "tbl", "bkt")
     if max_bucket is not None:
         w = Window.partitionBy("tbl", "bkt")
         sigs = (sigs.withColumn("_n", F.count("*").over(w))
@@ -162,14 +180,57 @@ def embedding_near_dup(vectors: DataFrame, threshold_micro: int = 950_000,
         a.join(b, ["tbl", "bkt"])
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(F.col("a.vec_id").alias("vec_a"),
-                F.col("b.vec_id").alias("vec_b"),
-                F.col("a.embedding").alias("embedding"),
-                F.col("b.embedding").alias("q_embedding"))
+                F.col("b.vec_id").alias("vec_b"))
         .dropDuplicates(["vec_a", "vec_b"])
     )
-    scored = with_cosine(cand)
+    va = vectors.select(F.col("vec_id").alias("vec_a"),
+                        F.col("embedding").alias("_ea"))
+    vb = vectors.select(F.col("vec_id").alias("vec_b"),
+                        F.col("embedding").alias("_eb"))
+    pairs = cand.join(F.broadcast(va), "vec_a").join(F.broadcast(vb), "vec_b")
+    scored = _pair_cosine_pandas(pairs)
     return (scored.filter(F.col("cos_micro") >= F.lit(threshold_micro))
             .select("vec_a", "vec_b", "cos_micro"))
+
+
+def _pair_cosine_pandas(pairs: DataFrame) -> DataFrame:
+    """(vec_a, vec_b, _ea, _eb) → (vec_a, vec_b, cos_micro): the exact
+    cosine re-check as one Arrow-batched numpy pass.  FP parity with the
+    HOF/DuckDB form: float32 → float64 per element, accumulation
+    SEQUENTIAL over dimensions, round-half-up micro units."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        pairs.schema["vec_a"], pairs.schema["vec_b"],
+        T.StructField("cos_micro", T.LongType(), False),
+    ])
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.asarray([np.asarray(v, np.float32).astype(np.float64)
+                            for v in pdf["_ea"]])
+            B = np.asarray([np.asarray(v, np.float32).astype(np.float64)
+                            for v in pdf["_eb"]])
+            dot = np.zeros(len(A), np.float64)
+            na = np.zeros(len(A), np.float64)
+            nb = np.zeros(len(A), np.float64)
+            for d in range(A.shape[1]):  # sequential over dims (FP order)
+                dot += A[:, d] * B[:, d]
+                na += A[:, d] * A[:, d]
+                nb += B[:, d] * B[:, d]
+            cos = dot / (np.sqrt(na) * np.sqrt(nb))
+            yield pd.DataFrame({
+                "vec_a": pdf["vec_a"].to_numpy(),
+                "vec_b": pdf["vec_b"].to_numpy(),
+                "cos_micro": np.floor(cos * 1e6 + 0.5).astype(np.int64),
+            })
+
+    return pairs.mapInPandas(gen, out_schema)
 
 
 def _ivf_assign(df: DataFrame, vec_col: str, id_col: str,

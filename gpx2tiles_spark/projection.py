@@ -191,7 +191,11 @@ def earth_distance_col(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -
         F.sin(F.radians(lat1)) * F.sin(F.radians(lat2))
         + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.cos(F.radians(lon2 - lon1))
     )
-    return F.acos(F.least(F.lit(1.0), a)) * F.lit(6371000.0)
+    # clamp BOTH ends: near-identical positions land an ulp above 1.0
+    # and near-antipodal ones an ulp below -1.0 (Spark acos would give
+    # NaN; the DuckDB oracle mirror ERRORS — seen at the sf1 10x stress)
+    return F.acos(F.least(F.lit(1.0), F.greatest(F.lit(-1.0), a))) \
+        * F.lit(6371000.0)
 
 
 def quadkey_col(tx: Column, ty: Column, z: int) -> Column:

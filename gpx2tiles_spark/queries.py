@@ -174,10 +174,10 @@ def q_pixel_positions(spark, sf_dir):
            LAG(epoch(ts)) OVER w AS pes
     FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, pid))
   SELECT pid, user_id,
-         CAST(FLOOR(ACOS(LEAST(1.0,
+         CAST(FLOOR(ACOS(LEAST(1.0, GREATEST(-1.0,
              SIN(RADIANS(plat)) * SIN(RADIANS(lat))
            + COS(RADIANS(plat)) * COS(RADIANS(lat)) * COS(RADIANS(lon - plon))
-         )) * 6371000.0 * 1000.0) AS BIGINT) AS dist_milli,
+         ))) * 6371000.0 * 1000.0) AS BIGINT) AS dist_milli,
          CAST(FLOOR(es - pes) AS BIGINT) AS dt_sec
   FROM lagged WHERE plat IS NOT NULL
 """)
@@ -661,7 +661,9 @@ _COS_SQL = """
     FROM pos p JOIN q ON p.i = q.i GROUP BY 1, 2),
   cos AS (
     SELECT d.qid, d.vec_id,
-           CAST(FLOOR(d.dot / (na.nrm * nb.nrm) * 1000000.0) AS BIGINT) AS cos_micro
+           -- round-half-up like the Spark side: exact-copy pairs sit on
+           -- the floor(1.0e6) boundary (ann.with_cosine)
+           CAST(FLOOR(d.dot / (na.nrm * nb.nrm) * 1000000.0 + 0.5) AS BIGINT) AS cos_micro
     FROM dots d
     JOIN norms na ON na.vec_id = d.qid
     JOIN norms nb ON nb.vec_id = d.vec_id),
@@ -778,10 +780,10 @@ def q_pseudo_time(spark, sf_dir):
          CASE WHEN pkph IS NOT NULL AND nkph IS NOT NULL
               THEN CAST(FLOOR((pkph + nkph) / 2.0 * 1000.0) AS BIGINT)
               WHEN plat IS NOT NULL
-              THEN CAST(FLOOR(ACOS(LEAST(1.0,
+              THEN CAST(FLOOR(ACOS(LEAST(1.0, GREATEST(-1.0,
                      SIN(RADIANS(plat)) * SIN(RADIANS(lat))
                    + COS(RADIANS(plat)) * COS(RADIANS(lat)) * COS(RADIANS(lon - plon))
-                 )) * 6371000.0
+                 ))) * 6371000.0
                  / GREATEST(1.0, FLOOR(es - pes)) * 1000.0) AS BIGINT)
               ELSE NULL END AS synth_speed_milli
   FROM lagged
@@ -1087,10 +1089,10 @@ pois AS ({_POI_SQL}),
 {_s2_chain(3, "pois", "poi_id, lon, lat", "_q")},
 d AS (
   SELECT p.pid, q.poi_id,
-         ACOS(LEAST(1.0,
+         ACOS(LEAST(1.0, GREATEST(-1.0,
              SIN(RADIANS(p.lat)) * SIN(RADIANS(q.lat))
            + COS(RADIANS(p.lat)) * COS(RADIANS(q.lat))
-           * COS(RADIANS(q.lon - p.lon)))) * 6371000.0 AS dist_m
+           * COS(RADIANS(q.lon - p.lon))))) * 6371000.0 AS dist_m
   FROM cells p JOIN cells_q q USING (s2_cell)),
 r AS (
   SELECT pid, poi_id,
@@ -1163,10 +1165,10 @@ def q_simhash_hamming(spark, sf_dir):
   q AS (SELECT pid AS qid, lat AS qlat, lon AS qlon FROM pts WHERE pid % 1999 = 0),
   d AS (
     SELECT q.qid, p.pid,
-           ACOS(LEAST(1.0,
+           ACOS(LEAST(1.0, GREATEST(-1.0,
                SIN(RADIANS(q.qlat)) * SIN(RADIANS(p.lat))
              + COS(RADIANS(q.qlat)) * COS(RADIANS(p.lat))
-             * COS(RADIANS(p.lon - q.qlon)))) * 6371000.0 AS dist_m
+             * COS(RADIANS(p.lon - q.qlon))))) * 6371000.0 AS dist_m
     FROM pts p, q),
   r AS (
     SELECT qid, pid,
@@ -1375,8 +1377,13 @@ def _golden_oracle_sql(link_name: str) -> str:
 
 def _relink_golden(link_name: str, golden_file: str) -> None:
     os.makedirs(_ORACLE_CACHE, exist_ok=True)
-    if os.path.exists(golden_file):
-        _relink(os.path.join(_ORACLE_CACHE, link_name), golden_file)
+    if not os.path.exists(golden_file):
+        # fail loudly: silently keeping a stale link would hash-compare
+        # this scale's output against ANOTHER scale's snapshot
+        raise FileNotFoundError(
+            f"no committed golden for this scale: {golden_file} "
+            f"(generate it with tools/make_golden.py)")
+    _relink(os.path.join(_ORACLE_CACHE, link_name), golden_file)
 
 
 @register("parse_points", _golden_oracle_sql("parse_golden_current"))
@@ -1480,7 +1487,7 @@ _ANN_LSH_SQL = f"""
     GROUP BY 1, 2),
   cos AS (
     SELECT qid, cdots.vec_id,
-           CAST(FLOOR(dot / (na.nrm * nb.nrm) * 1000000.0) AS BIGINT) AS cos_micro
+           CAST(FLOOR(dot / (na.nrm * nb.nrm) * 1000000.0 + 0.5) AS BIGINT) AS cos_micro
     FROM cdots
     JOIN norms na ON na.vec_id = cdots.vec_id
     JOIN norms nb ON nb.vec_id = cdots.qid),
@@ -1514,19 +1521,26 @@ _NEAR_DUP_SQL = f"""
     SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
     FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.bkt = b.bkt
     WHERE a.vec_id < b.vec_id),
-  norms AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM pos GROUP BY 1),
-  cdots AS (
-    SELECT c.vec_a, c.vec_b, SUM(pa.v * pb.v) AS dot
+  -- exact re-check via list_inner_product on double-cast lists, NOT a
+  -- position-exploded join: the exploded form multiplies the candidate
+  -- set by dim (80M pairs x 64 dims = 5G join rows at the sf1 stress —
+  -- a half-hour 33 GB spill).  Raw dots can differ from the exploded
+  -- SUM by an ulp, but the round-half-up micro quantization absorbs
+  -- that (no systematic value sits on a .5 boundary).
+  emb2 AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings),
+  cosd AS (
+    SELECT c.vec_a, c.vec_b,
+           CAST(FLOOR(list_inner_product(a.e, b.e)
+                / (SQRT(list_inner_product(a.e, a.e))
+                   * SQRT(list_inner_product(b.e, b.e)))
+                * 1000000.0 + 0.5) AS BIGINT) AS cos_micro
     FROM cand c
-    JOIN pos pa ON pa.vec_id = c.vec_a
-    JOIN pos pb ON pb.vec_id = c.vec_b AND pb.d = pa.d
-    GROUP BY 1, 2)
-  SELECT vec_a, vec_b,
-         CAST(FLOOR(dot / (na.nrm * nb.nrm) * 1000000.0) AS BIGINT) AS cos_micro
-  FROM cdots
-  JOIN norms na ON na.vec_id = vec_a
-  JOIN norms nb ON nb.vec_id = vec_b
-  WHERE FLOOR(dot / (na.nrm * nb.nrm) * 1000000.0) >= 400000
+    JOIN emb2 a ON a.vec_id = c.vec_a
+    JOIN emb2 b ON b.vec_id = c.vec_b)
+  SELECT vec_a, vec_b, cos_micro FROM cosd WHERE cos_micro >= 400000
 """
 
 

@@ -35,6 +35,11 @@ def _oracle(sql: str) -> tuple[list, list]:
 
     con = duckdb.connect()
     try:
+        # bound the oracle's memory and let it spill: DuckDB's default
+        # limit is 80% of RAM, and the sf1 near-dup recheck (80M pairs x
+        # 64 dims) ballooned past the sandbox's kill threshold
+        con.execute("SET memory_limit='24GB'")
+        con.execute("SET temp_directory='/tmp/duckdb_spill'")
         for t in _TABLES:
             p = os.path.join(SF1_DIR, f"{t}.parquet")
             if os.path.exists(p):
@@ -63,7 +68,12 @@ def main() -> int:
 
     qs, osql = queries(), oracle_sql()
     names = sys.argv[1:] or list(qs)
+    # merge-resume: re-running a subset updates those rows in place
+    path = os.path.join(_REPO, "BENCH", "sf1_full.json")
     results: dict[str, dict] = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            results = json.load(f).get("queries", {})
     fails = 0
     for name in names:
         state: dict = {}
@@ -100,6 +110,8 @@ def main() -> int:
         print(f"  {name}: {r.get('sec', '-')}s rows={r.get('rows', '-')} "
               f"{r.get('hash', r.get('error'))}", flush=True)
 
+    fails = sum(1 for r in results.values()
+                if r.get("hash") == "MISMATCH" or "error" in r)
     n_match = sum(1 for r in results.values() if r.get("hash") == "MATCH")
     out = {
         "metric": "sf1 full-registry sweep (timing + oracle hash at 10x)",
@@ -115,7 +127,6 @@ def main() -> int:
         "wall_sec": round(time.time() - t0, 3),
         "queries": results,
     }
-    path = os.path.join(_REPO, "BENCH", "sf1_full.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     compact = {k: v for k, v in out.items() if k != "queries"}

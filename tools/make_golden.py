@@ -42,8 +42,15 @@ def main() -> None:
 
     spark = get_spark(app="make_golden", master="local[8]")
     spark.sparkContext.setLogLevel("ERROR")
-    for n, sf in ((12, "0.001"), (40, "0.01"), (120, "0.1")):
-        sf_dir = f"/root/testdata/sf{sf}"
+    # n=1200 is the synthesized sf1 decade (tools/bench_sf1.py)
+    scales = ((12, "/root/testdata/sf0.001"), (40, "/root/testdata/sf0.01"),
+              (120, "/root/testdata/sf0.1"),
+              (1200, os.path.join(os.path.dirname(os.path.dirname(
+                  os.path.abspath(__file__))), ".bench_sf1")))
+    only = {int(a) for a in sys.argv[1:]} or None
+    for n, sf_dir in scales:
+        if only and n not in only:
+            continue
         docs = generate_documents(spark, n)
         pts = parse_points_comparable(parse_documents(docs))
         _write_single(pts, os.path.join(_GOLDEN_DIR, f"parse_points_n{n}.parquet"))
