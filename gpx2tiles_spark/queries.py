@@ -1556,22 +1556,20 @@ def q_embedding_near_dup(spark, sf_dir):
 
 
 _IVF_SQL = """
-  WITH pos AS (
-    SELECT vec_id,
-           CAST(unnest(generate_series(1, len(embedding))) AS INT) - 1 AS d,
-           unnest(list_transform(generate_series(1, len(embedding)),
-                                 i -> CAST(embedding[i] AS DOUBLE))) AS v
+  WITH emb AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
     FROM embeddings),
-  cent AS (SELECT cell, d, v FROM read_parquet('{IVF_CENTS_GLOB}')),
-  norms AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM pos GROUP BY 1),
-  cnorm AS (SELECT cell, SQRT(SUM(v * v)) AS cn FROM cent GROUP BY 1),
-  cdot AS (
-    SELECT pos.vec_id, cent.cell, SUM(pos.v * cent.v) AS dt
-    FROM pos JOIN cent ON pos.d = cent.d GROUP BY 1, 2),
+  cent AS (
+    SELECT cell, list(v ORDER BY d) AS cv
+    FROM read_parquet('{IVF_CENTS_GLOB}') GROUP BY cell),
+  norms AS (SELECT vec_id, SQRT(list_inner_product(ev, ev)) AS nrm FROM emb),
+  cnorm AS (SELECT cell, SQRT(list_inner_product(cv, cv)) AS cn FROM cent),
   ccos AS (
-    SELECT dd.vec_id, dd.cell, dd.dt / (n.nrm * c.cn) AS cval
-    FROM cdot dd JOIN norms n ON n.vec_id = dd.vec_id
-    JOIN cnorm c ON c.cell = dd.cell),
+    SELECT e.vec_id, c.cell,
+           list_inner_product(e.ev, c.cv) / (n.nrm * cn.cn) AS cval
+    FROM emb e CROSS JOIN cent c
+    JOIN norms n ON n.vec_id = e.vec_id
+    JOIN cnorm cn ON cn.cell = c.cell),
   assigned AS (
     SELECT vec_id, cell FROM (
       SELECT vec_id, cell,
@@ -1587,19 +1585,15 @@ _IVF_SQL = """
   cand AS (
     SELECT DISTINCT p.qid, a.vec_id
     FROM probe p JOIN assigned a ON a.cell = p.cell),
-  cdots AS (
-    SELECT c.qid, c.vec_id, SUM(pa.v * pb.v) AS dot
-    FROM cand c
-    JOIN pos pa ON pa.vec_id = c.vec_id
-    JOIN pos pb ON pb.vec_id = c.qid AND pb.d = pa.d
-    GROUP BY 1, 2),
   rcos AS (
-    SELECT qid, cdots.vec_id,
-           CAST(FLOOR(dot / (na.nrm * nb.nrm) * 1000000.0 + 0.5) AS BIGINT)
-             AS cos_micro
-    FROM cdots
-    JOIN norms na ON na.vec_id = cdots.vec_id
-    JOIN norms nb ON nb.vec_id = cdots.qid),
+    SELECT c.qid, c.vec_id,
+           CAST(FLOOR(list_inner_product(ea.ev, eb.ev) / (na.nrm * nb.nrm)
+                      * 1000000.0 + 0.5) AS BIGINT) AS cos_micro
+    FROM cand c
+    JOIN emb ea ON ea.vec_id = c.vec_id
+    JOIN emb eb ON eb.vec_id = c.qid
+    JOIN norms na ON na.vec_id = c.vec_id
+    JOIN norms nb ON nb.vec_id = c.qid),
   r AS (
     SELECT qid, vec_id, cos_micro,
            ROW_NUMBER() OVER (PARTITION BY qid
@@ -1614,6 +1608,12 @@ _IVF_SQL = """
 # to the oracle cache by q_ann_ivf (centroids are data, not SQL — the
 # Lloyd iterations live Spark-side in ann.kmeans_centroids; assignment,
 # probe and re-rank stay fully re-derived in SQL from those values).
+# List-form dot products (list_inner_product), not dim-exploded joins:
+# the exploded assignment join spilled DuckDB to disk exhaustion at the
+# sf1 sweep (same lesson as _NEAR_DUP_SQL); raw-FP accumulation order
+# differs by an ulp from the sequential sum, which the round-half-up
+# micro-quantization absorbs (cos_micro) and centroid argmax separation
+# dwarfs (k-means cells are not ulp-tied).
 _IVF_SQL = _IVF_SQL.replace(
     "{IVF_CENTS_GLOB}",
     os.path.join(_ORACLE_CACHE, "ivf_cents_current", "*.parquet"))
