@@ -75,6 +75,14 @@ SECTIONS: list[tuple[str, str, str]] = [
      "Multi-table hyperplane LSH ANN: (table, bucket) equi-join "
      "replaces the brute-force cross join; exact re-rank inside "
      "candidates only."),
+    ("embedding_near_dup", "embedding_near_dup",
+     "Embedding near-dup (round-5 shape): the LSH bucket self-join and "
+     "pair dedup shuffle ID PAIRS ONLY — both 64-float arrays re-attach "
+     "AFTER the dedup via BroadcastHashJoins, and the exact cosine "
+     "re-check is one sequential-over-dims Arrow pass.  Carrying the "
+     "arrays through the join shuffled ~50 GB at 20k vectors (sf1 "
+     "sweep OOM); at 10^9 vectors the pair-id shuffle is ~100x "
+     "narrower than the array-carrying one."),
 ]
 
 COUNT_KEYS = ["exchanges", "reused_exchanges", "arrow_evals",
