@@ -227,3 +227,104 @@ def test_jpeg_bitio_acc_stays_bounded():
     finally:
         jpegcodec._BitReader._fill = orig_fill
     assert seen and max(seen) <= 32
+
+
+def test_hard_kill_mid_job_resume(spark, tmp_path):
+    """Crash consistency for the checkpointed store: SIGKILL the whole
+    driver+executor process tree MID-JOB (after the first committed
+    snapshot, between batches), plant an orphan half-written snapshot
+    dir, then resume with the same deterministic batching.  The atomic
+    manifest swap + immutable snapshot dirs + overwrite-on-recommit
+    must make the resumed store byte-identical to a oneshot render
+    (north rule: resumable from checkpointed tile-partition state)."""
+    import json
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    from pyspark.sql import functions as F
+
+    from gpx2tiles_spark.config import EngineConfig
+    from gpx2tiles_spark.corpus import generate_documents
+    from gpx2tiles_spark.plans.pipeline import render_pyramid
+    from gpx2tiles_spark.pngcodec import decode_png
+    from gpx2tiles_spark.streaming.incremental import process_batches
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = EngineConfig(zoom_min=1, zoom_max=8)
+    store_dir = str(tmp_path / "killstore")
+    script = f"""
+import sys, time
+sys.path.insert(0, {repo!r})
+from gpx2tiles_spark.session import get_spark
+from gpx2tiles_spark.config import EngineConfig
+from gpx2tiles_spark.corpus import generate_documents
+from gpx2tiles_spark.streaming.incremental import (TileStore,
+    doc_range_bounds, _range_predicate)
+spark = get_spark(app="killme", master="local[4]")
+spark.sparkContext.setLogLevel("ERROR")
+docs = generate_documents(spark, 10, partitions=2).cache()
+cfg = EngineConfig(zoom_min=1, zoom_max=8)
+store = TileStore(spark, {store_dir!r})
+bounds = doc_range_bounds(docs, 4)
+cuts = [None] + list(bounds) + [None]
+for b in range(len(cuts) - 1):
+    store.apply_batch(f"batch-{{b:04d}}",
+                      docs.filter(_range_predicate(cuts[b], cuts[b + 1])),
+                      cfg)
+    time.sleep(60)   # parent SIGKILLs the process group in this window
+"""
+    env = dict(os.environ, PYTHONPATH=repo)
+    proc = subprocess.Popen([sys.executable, "-c", script], cwd=repo,
+                            env=env, start_new_session=True,
+                            stdout=subprocess.DEVNULL,
+                            stderr=subprocess.DEVNULL)
+    manifest = os.path.join(store_dir, "manifest.json")
+    deadline = time.time() + 240
+    try:
+        while time.time() < deadline:
+            if os.path.exists(manifest) and \
+                    json.load(open(manifest))["snapshots"]:
+                break
+            if proc.poll() is not None:
+                raise AssertionError("subprocess died before first commit")
+            time.sleep(0.5)
+        else:
+            raise AssertionError("no snapshot committed before deadline")
+    finally:
+        os.killpg(proc.pid, signal.SIGKILL)
+        proc.wait()
+
+    committed = json.load(open(manifest))["snapshots"]
+    assert 1 <= len(committed) < 5, "kill did not land mid-job"
+
+    # simulate a crash mid-snapshot-write: an orphan dir for the NEXT
+    # snapshot id, full of junk tiles the manifest never committed
+    orphan = os.path.join(store_dir, f"snapshot-{len(committed):05d}")
+    junk = spark.range(3).select(
+        F.lit(1).alias("z"), F.col("id").cast("int").alias("tx"),
+        F.lit(99).alias("ty"), F.lit(7).alias("point_cnt"),
+        F.lit(1).alias("n_events"), F.lit(1).alias("n_docs"),
+        F.lit(bytearray(b"not a png")).alias("png"))
+    junk.write.mode("overwrite").parquet(orphan)
+
+    docs = generate_documents(spark, 10, partitions=2).cache()
+    store = process_batches(spark, docs, store_dir, cfg, n_batches=4)
+    m = store.manifest()
+    keys = [s["batch_key"] for s in m["snapshots"]]
+    assert len(set(keys)) == len(keys), "resume re-committed a batch"
+
+    got = {(r.z, r.tx, r.ty): (r.point_cnt, bytes(r.png))
+           for r in store.current()
+           .select("z", "tx", "ty", "point_cnt", "png").collect()}
+    full = {(r.z, r.tx, r.ty): (r.point_cnt, bytes(r.png))
+            for r in render_pyramid(docs, cfg).tiles
+            .select("z", "tx", "ty", "point_cnt", "png").collect()}
+    assert set(got) == set(full)
+    assert (1, 0, 99) not in got, "orphan junk leaked into current()"
+    for k in full:
+        assert got[k][0] == full[k][0], k
+        assert decode_png(got[k][1]).tobytes() == \
+            decode_png(full[k][1]).tobytes(), k
