@@ -156,23 +156,48 @@ def embedding_near_dup(vectors: DataFrame, threshold_micro: int = 950_000,
 
     Returns (vec_a, vec_b, cos_micro) with vec_a < vec_b.
 
-    Memory shape (the round-5 sf1 lesson): the bucket self-join and the
-    pair dedup move ID PAIRS ONLY — carrying both embedding arrays
-    through the join shuffled ~50 GB at a 20k-vector 10x-duplicate
-    stress and got the executor OOM-killed.  The arrays re-attach
-    afterwards via two joins of the (small, broadcastable at any
-    realistic dim-table size) vectors relation, and the exact re-check
-    runs as ONE Arrow pass with the sequential-over-dims accumulation
-    order the HOF expression and the DuckDB oracle use."""
+    Memory shape (the round-5 sf1 lessons, both): exact duplicates are
+    collapsed FIRST (group by the embedding array itself — no hash
+    collisions — min vec_id is the group's representative), the whole
+    LSH/candidate/score chain runs on distinct vectors only, and the
+    surviving rep pairs expand back to member pairs at the very end.
+    10 exact copies of every vector (the sf1 stress) turned 104M raw /
+    81M distinct candidate pairs into ~1M/0.8M — a 100x cut in the
+    scored volume, with byte-identical output: members share the rep's
+    exact array (same buckets, same cosine), the degenerate-bucket cap
+    counts EXPANDED sizes (sum of group sizes per bucket), and
+    within-group pairs take the rep's self-cosine from the same scored
+    pass rather than an assumed 1.0.  Exact-dedup-then-near-dup is
+    also the standard 100 TB pipeline shape.  The bucket self-join and
+    the pair dedup move ID PAIRS ONLY — carrying both embedding arrays
+    through the join shuffled ~50 GB at a 20k-vector stress and got
+    the executor OOM-killed; the arrays re-attach afterwards via
+    broadcast joins, and the exact re-check runs as ONE Arrow pass
+    with the sequential-over-dims accumulation order the HOF
+    expression and the DuckDB oracle use."""
     planes = _hyperplanes(dim, n_tables * planes_per_table)
     tables = [planes[t * planes_per_table:(t + 1) * planes_per_table]
               for t in range(n_tables)]
-    sigs = _bucketed_pandas(vectors.select("vec_id", "embedding"),
+
+    # exact-duplicate collapse: rep = min vec_id per identical array
+    wg = Window.partitionBy("embedding")
+    members = (vectors.select("vec_id", "embedding")
+               .withColumn("rep_id", F.min("vec_id").over(wg))
+               .withColumn("grp_sz", F.count("*").over(wg)))
+    reps = (members.filter(F.col("vec_id") == F.col("rep_id"))
+            .select("vec_id", "embedding", "grp_sz"))
+
+    # plain join (no broadcast hint): reps is corpus-sized pre-collapse
+    # at the limit — AQE broadcasts it at runtime when it is small
+    sigs = _bucketed_pandas(reps.select("vec_id", "embedding"),
                             "embedding", "vec_id", tables) \
-        .select("vec_id", "tbl", "bkt")
+        .select("vec_id", "tbl", "bkt") \
+        .join(reps.select("vec_id", "grp_sz"), "vec_id")
     if max_bucket is not None:
+        # cap on the EXPANDED bucket size — identical row-drop decisions
+        # to bucketing every copy individually (copies share buckets)
         w = Window.partitionBy("tbl", "bkt")
-        sigs = (sigs.withColumn("_n", F.count("*").over(w))
+        sigs = (sigs.withColumn("_n", F.sum("grp_sz").over(w))
                 .filter(F.col("_n") <= max_bucket).drop("_n"))
     a = sigs.alias("a")
     b = sigs.alias("b")
@@ -183,14 +208,38 @@ def embedding_near_dup(vectors: DataFrame, threshold_micro: int = 950_000,
                 F.col("b.vec_id").alias("vec_b"))
         .dropDuplicates(["vec_a", "vec_b"])
     )
-    va = vectors.select(F.col("vec_id").alias("vec_a"),
-                        F.col("embedding").alias("_ea"))
-    vb = vectors.select(F.col("vec_id").alias("vec_b"),
-                        F.col("embedding").alias("_eb"))
-    pairs = cand.join(F.broadcast(va), "vec_a").join(F.broadcast(vb), "vec_b")
-    scored = _pair_cosine_pandas(pairs)
-    return (scored.filter(F.col("cos_micro") >= F.lit(threshold_micro))
-            .select("vec_a", "vec_b", "cos_micro"))
+    # within-group pairs need the rep's SELF-cosine (exactly as the
+    # member-pair scoring would compute it) — score (rep, rep) through
+    # the same Arrow pass for every multi-member group that survives
+    # in at least one bucket
+    selfs = (sigs.filter(F.col("grp_sz") > 1)
+             .select(F.col("vec_id").alias("vec_a"),
+                     F.col("vec_id").alias("vec_b"))
+             .dropDuplicates(["vec_a", "vec_b"]))
+    va = reps.select(F.col("vec_id").alias("vec_a"),
+                     F.col("embedding").alias("_ea"))
+    vb = reps.select(F.col("vec_id").alias("vec_b"),
+                     F.col("embedding").alias("_eb"))
+    pairs = cand.unionByName(selfs).join(va, "vec_a").join(vb, "vec_b")
+    scored = (_pair_cosine_pandas(pairs)
+              .filter(F.col("cos_micro") >= F.lit(threshold_micro)))
+
+    # expand rep pairs back to member pairs: cross-group = full grid
+    # (orientation per member pair), within-group = ordered pairs.
+    # scored (surviving rep pairs) is the genuinely small side here —
+    # the membership relation is corpus-sized and must stream
+    ma = members.select(F.col("rep_id").alias("vec_a"),
+                        F.col("vec_id").alias("_ida"))
+    mb = members.select(F.col("rep_id").alias("vec_b"),
+                        F.col("vec_id").alias("_idb"))
+    out = (ma.join(F.broadcast(scored), "vec_a")
+           .join(mb, "vec_b")
+           .filter((F.col("vec_a") != F.col("vec_b"))
+                   | (F.col("_ida") < F.col("_idb"))))
+    return out.select(
+        F.least("_ida", "_idb").alias("vec_a"),
+        F.greatest("_ida", "_idb").alias("vec_b"),
+        "cos_micro")
 
 
 def _pair_cosine_pandas(pairs: DataFrame) -> DataFrame:

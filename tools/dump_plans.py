@@ -76,13 +76,16 @@ SECTIONS: list[tuple[str, str, str]] = [
      "replaces the brute-force cross join; exact re-rank inside "
      "candidates only."),
     ("embedding_near_dup", "embedding_near_dup",
-     "Embedding near-dup (round-5 shape): the LSH bucket self-join and "
-     "pair dedup shuffle ID PAIRS ONLY — both 64-float arrays re-attach "
-     "AFTER the dedup via BroadcastHashJoins, and the exact cosine "
-     "re-check is one sequential-over-dims Arrow pass.  Carrying the "
-     "arrays through the join shuffled ~50 GB at 20k vectors (sf1 "
-     "sweep OOM); at 10^9 vectors the pair-id shuffle is ~100x "
-     "narrower than the array-carrying one."),
+     "Embedding near-dup (round-5 shape): exact duplicates collapse "
+     "FIRST (one window over the embedding array itself), the whole "
+     "LSH/candidate/score chain runs on distinct vectors, and the "
+     "surviving rep pairs expand back to member pairs at the end — "
+     "the standard exact-dedup-then-near-dup pipeline shape.  The "
+     "bucket self-join and pair dedup shuffle ID PAIRS ONLY; arrays "
+     "re-attach after; the exact re-check is one sequential-over-dims "
+     "Arrow pass.  At the sf1 10x-duplicate stress this cut the "
+     "scored volume 100x (81M -> 0.8M pairs; 241 s -> 7.3 s, output "
+     "byte-identical)."),
 ]
 
 COUNT_KEYS = ["exchanges", "reused_exchanges", "arrow_evals",
