@@ -198,6 +198,19 @@ def earth_distance_col(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -
         * F.lit(6371000.0)
 
 
+def earth_distance_presincos_col(sin1: Column, cos1: Column,
+                                 sin2: Column, cos2: Column,
+                                 lon1: Column, lon2: Column) -> Column:
+    """:func:`earth_distance_col` with the per-endpoint sin/cos of the
+    latitude PRECOMPUTED.  Bit-identical results (the same double values
+    feed the same multiply/acos tree) — it only stops a k-vs-all join
+    from re-deriving each endpoint's trig once per PAIR instead of once
+    per row (5 transcendentals/pair → 2)."""
+    a = sin1 * sin2 + cos1 * cos2 * F.cos(F.radians(lon2 - lon1))
+    return F.acos(F.least(F.lit(1.0), F.greatest(F.lit(-1.0), a))) \
+        * F.lit(6371000.0)
+
+
 def quadkey_col(tx: Column, ty: Column, z: int) -> Column:
     """Same Morton-with-sentinel cell id as :func:`quadkey`, JVM-side."""
     cell = F.lit(1 << (2 * z)).cast("long")

@@ -1179,13 +1179,21 @@ def q_simhash_hamming(spark, sf_dir):
 """)
 def q_knn_earth(spark, sf_dir):
     """kNN under the reference's own law-of-cosines metric (gpx.c:244-258)."""
-    pts = _points(spark, sf_dir).select("pid", "lat", "lon")
-    qs = pts.filter(F.col("pid") % 1999 == 0).select(
-        F.col("pid").alias("qid"), F.col("lat").alias("qlat"),
-        F.col("lon").alias("qlon"))
+    pts = _points(spark, sf_dir).select(
+        "pid", "lon",
+        F.sin(F.radians("lat")).alias("sin_lat"),
+        F.cos(F.radians("lat")).alias("cos_lat"))
+    qs = _points(spark, sf_dir).filter(F.col("pid") % 1999 == 0).select(
+        F.col("pid").alias("qid"), F.col("lon").alias("qlon"),
+        F.sin(F.radians("lat")).alias("sin_qlat"),
+        F.cos(F.radians("lat")).alias("cos_qlat"))
+    # per-endpoint trig precomputed once per ROW, not once per PAIR —
+    # bit-identical distances (same doubles, same op tree)
     j = pts.crossJoin(F.broadcast(qs))
-    dist = P.earth_distance_col(F.col("qlat"), F.col("qlon"),
-                                F.col("lat"), F.col("lon"))
+    dist = P.earth_distance_presincos_col(
+        F.col("sin_qlat"), F.col("cos_qlat"),
+        F.col("sin_lat"), F.col("cos_lat"),
+        F.col("qlon"), F.col("lon"))
     w = Window.partitionBy("qid").orderBy("dist_m", "pid")
     # NOTE: the raw distance is omitted from the comparable output — acos
     # near a==1.0 (self/duplicate coordinates) differs across engines by
