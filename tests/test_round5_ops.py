@@ -328,3 +328,79 @@ for b in range(len(cuts) - 1):
         assert got[k][0] == full[k][0], k
         assert decode_png(got[k][1]).tobytes() == \
             decode_png(full[k][1]).tobytes(), k
+
+
+def _naive_near_dup(vectors, threshold_micro, n_tables, per, dim, max_bucket):
+    """Per-copy reference for embedding_near_dup: bucket EVERY vector
+    (no collapse), cap on raw bucket sizes, candidate pairs sharing any
+    surviving bucket, sequential-over-dims cosine, round-half-up."""
+    import numpy as np
+
+    from gpx2tiles_spark.operators import ann
+
+    planes = ann._hyperplanes(dim, n_tables * per)
+    v64 = {vid: np.asarray(v, np.float32).astype(np.float64)
+           for vid, v in vectors}
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for vid, _ in vectors:
+        for t in range(n_tables):
+            bkt = 0
+            for j in range(per):
+                p = np.asarray(planes[t * per + j], np.float64)
+                acc = 0.0
+                for d in range(dim):
+                    acc += v64[vid][d] * p[d]
+                if acc > 0:
+                    bkt |= 1 << j
+            buckets.setdefault((t, bkt), []).append(vid)
+    cand = set()
+    for ids in buckets.values():
+        if max_bucket is not None and len(ids) > max_bucket:
+            continue
+        for a in ids:
+            for b in ids:
+                if a < b:
+                    cand.add((a, b))
+    out = {}
+    for a, b in cand:
+        dot = na = nb = 0.0
+        for d in range(dim):
+            dot += v64[a][d] * v64[b][d]
+            na += v64[a][d] * v64[a][d]
+            nb += v64[b][d] * v64[b][d]
+        cm = int(np.floor(dot / (np.sqrt(na) * np.sqrt(nb)) * 1e6 + 0.5))
+        if cm >= threshold_micro:
+            out[(a, b)] = cm
+    return out
+
+
+@pytest.mark.parametrize("max_bucket", [5, None])
+def test_near_dup_collapse_matches_naive_per_copy(spark, max_bucket):
+    """The round-5 exact-duplicate collapse must be invisible: identical
+    output to bucketing/scoring every copy individually — including the
+    degenerate-bucket cap crossing (expanded counts), a duplicate group
+    LARGER than the cap (capped out of every bucket → zero pairs from
+    it), singleton groups, and interleaved member ids."""
+    import numpy as np
+
+    from gpx2tiles_spark.operators import ann
+
+    rng = np.random.default_rng(7)
+    dim, n_tables, per = 16, 4, 3
+    base = rng.normal(size=(12, dim)).astype(np.float32)
+    slots = []
+    for i in range(len(base)):
+        copies = 6 if i == 0 else (i % 4) + 1   # one group > cap(5)
+        slots += [i] * copies
+    rng.shuffle(slots)                          # interleave ids across groups
+    vectors = [(vid, [float(x) for x in base[g]])
+               for vid, g in enumerate(slots)]
+
+    df = spark.createDataFrame(vectors, "vec_id int, embedding array<float>")
+    got = {(r.vec_a, r.vec_b): r.cos_micro
+           for r in ann.embedding_near_dup(
+               df, threshold_micro=100_000, n_tables=n_tables,
+               planes_per_table=per, dim=dim, max_bucket=max_bucket)
+           .collect()}
+    want = _naive_near_dup(vectors, 100_000, n_tables, per, dim, max_bucket)
+    assert got == want
