@@ -404,3 +404,34 @@ def test_near_dup_collapse_matches_naive_per_copy(spark, max_bucket):
            .collect()}
     want = _naive_near_dup(vectors, 100_000, n_tables, per, dim, max_bucket)
     assert got == want
+
+
+def test_earth_distance_presincos_bit_identical(spark):
+    """earth_distance_presincos_col must equal earth_distance_col
+    BITWISE on random coordinates (same doubles through the same op
+    tree), including near-identical and near-antipodal pairs."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from gpx2tiles_spark import projection as P
+
+    rng = np.random.default_rng(11)
+    rows = [(float(a), float(b), float(c), float(d))
+            for a, b, c, d in zip(rng.uniform(-85, 85, 200),
+                                  rng.uniform(-180, 180, 200),
+                                  rng.uniform(-85, 85, 200),
+                                  rng.uniform(-180, 180, 200))]
+    rows += [(48.9157, 8.5038, 48.9157, 8.5038),          # identical
+             (45.0, 10.0, -45.0, -170.0)]                 # near-antipodal
+    df = spark.createDataFrame(
+        rows, "lat1 double, lon1 double, lat2 double, lon2 double")
+    out = df.select(
+        P.earth_distance_col(F.col("lat1"), F.col("lon1"),
+                             F.col("lat2"), F.col("lon2")).alias("ref"),
+        P.earth_distance_presincos_col(
+            F.sin(F.radians("lat1")), F.cos(F.radians("lat1")),
+            F.sin(F.radians("lat2")), F.cos(F.radians("lat2")),
+            F.col("lon1"), F.col("lon2")).alias("pre"),
+    ).collect()
+    for r in out:
+        assert r.ref == r.pre or (np.isnan(r.ref) and np.isnan(r.pre))
