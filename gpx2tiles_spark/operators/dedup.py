@@ -52,19 +52,13 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 8) -> DataFrame:
     return shingles.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(signatures: DataFrame, num_hashes: int = 8,
-                        band_size: int = 2,
-                        max_bucket: int | None = 10_000) -> DataFrame:
-    """Banded LSH: docs sharing any band's key become a candidate pair.
-
-    ``max_bucket`` is the standard degenerate-bucket guard: a band key
-    shared by more than that many docs (empty texts, boilerplate) would
-    emit O(bucket²) candidates — one such key at 10^12 docs is quadratic
-    death.  Oversize buckets are dropped, not split: their members are
-    near-IDENTICAL under the whole band signature, which the exact
-    content-hash dedup (exact_duplicates) already collapses; LSH's job is
-    the near-dup tail.  The count uses the same (band, band_key) shuffle
-    key as the join, so AQE coalesces it into the join's exchange."""
+def lsh_band_rows(signatures: DataFrame, num_hashes: int = 8,
+                  band_size: int = 2,
+                  max_bucket: int | None = 10_000) -> DataFrame:
+    """(doc_id, band, band_key) rows, oversize buckets already dropped —
+    the shared substrate of the candidate join and the scale-decade
+    predictor (tools/bench_sf10_pairs.py), which needs the surviving
+    bucket membership itself, not just the pairs."""
     bands = num_hashes // band_size
     band_rows = None
     for b in range(bands):
@@ -80,6 +74,23 @@ def lsh_candidate_pairs(signatures: DataFrame, num_hashes: int = 8,
                      .withColumn("_bucket_n", F.count("*").over(w))
                      .filter(F.col("_bucket_n") <= max_bucket)
                      .drop("_bucket_n"))
+    return band_rows
+
+
+def lsh_candidate_pairs(signatures: DataFrame, num_hashes: int = 8,
+                        band_size: int = 2,
+                        max_bucket: int | None = 10_000) -> DataFrame:
+    """Banded LSH: docs sharing any band's key become a candidate pair.
+
+    ``max_bucket`` is the standard degenerate-bucket guard: a band key
+    shared by more than that many docs (empty texts, boilerplate) would
+    emit O(bucket²) candidates — one such key at 10^12 docs is quadratic
+    death.  Oversize buckets are dropped, not split: their members are
+    near-IDENTICAL under the whole band signature, which the exact
+    content-hash dedup (exact_duplicates) already collapses; LSH's job is
+    the near-dup tail.  The count uses the same (band, band_key) shuffle
+    key as the join, so AQE coalesces it into the join's exchange."""
+    band_rows = lsh_band_rows(signatures, num_hashes, band_size, max_bucket)
     a = band_rows.alias("a")
     b = band_rows.alias("b")
     return (

@@ -435,3 +435,94 @@ def test_earth_distance_presincos_bit_identical(spark):
     ).collect()
     for r in out:
         assert r.ref == r.pre or (np.isnan(r.ref) and np.isnan(r.pre))
+
+
+def _tools():
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for p in (repo, os.path.join(repo, "tools")):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+
+
+def test_sf10_pair_decade_prediction_identity_minhash(spark):
+    """The sf10 decade gate (tools/bench_sf10_pairs.py) verifies the
+    100x run against a closed-form copy-grid expansion of a x2 run with
+    the cap scaled by the same expanded-size identity.  Prove that
+    identity at toy scale with the REAL operator on both sides: a x5
+    corpus with cap 5B must equal the expansion of the x2 corpus with
+    cap 2B — including buckets the cap drops (an exact-dup group bigger
+    than B caps out of every band)."""
+    _tools()
+    from bench_sf10_pairs import expand_pairs, lift_pairs, tile_copies
+
+    from gpx2tiles_spark.operators import dedup
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    texts = []
+    for i in range(9):
+        w = list(words)
+        if i in (0, 1, 2):         # 3 exact copies -> dup group of 3 > B
+            pass
+        elif i == 3:
+            w[4] = "lambda"        # near-dup of the group (shares shingles)
+        else:
+            w = [f"{x}{i}" for x in words]  # unique vocab
+        texts.append((i, " ".join(w)))
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    n = docs.count()
+
+    def pairs(d, cap):
+        sh = dedup.doc_shingles(d, n=2)
+        sigs = dedup.minhash_signatures(sh, num_hashes=8)
+        return dedup.lsh_candidate_pairs(sigs, num_hashes=8, band_size=2,
+                                         max_bucket=cap)
+
+    B = 2  # dup group of 3 > B -> its pure buckets cap out at every scale
+    actual = pairs(tile_copies(docs, "doc_id", 5, n), 5 * B)
+    cross, within = lift_pairs(pairs(tile_copies(docs, "doc_id", 2, n), 2 * B),
+                               n, "doc_a", "doc_b")
+    pred = expand_pairs(cross, within, n, 5, "doc_a", "doc_b")
+    assert actual.exceptAll(pred).count() == 0
+    assert pred.exceptAll(actual).count() == 0
+    got = actual.count()
+    assert got > 0
+    # the cap must actually have dropped something: uncapped x5 is bigger
+    assert pairs(tile_copies(docs, "doc_id", 5, n), None).count() > got
+
+
+def test_sf10_pair_decade_prediction_identity_near_dup(spark):
+    """Same identity for embedding_near_dup, where the cap counts
+    EXPANDED group sizes: x5/cap 5B == expand(x2/cap 2B), with crowded
+    buckets (4 per table) so the degenerate-bucket guard fires."""
+    _tools()
+    from bench_sf10_pairs import expand_pairs, lift_pairs, tile_copies
+
+    from gpx2tiles_spark.operators import ann
+
+    rng = np.random.default_rng(17)
+    dim = 8
+    base = rng.normal(size=(11, dim)).astype(np.float32)
+    base[3] = base[0] + rng.normal(scale=0.01, size=dim).astype(np.float32)
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(len(base))],
+        "vec_id long, embedding array<float>")
+    n = vecs.count()
+
+    def run(d, cap):
+        return ann.embedding_near_dup(d, threshold_micro=100_000,
+                                      n_tables=4, planes_per_table=2,
+                                      dim=dim, max_bucket=cap)
+
+    B = 3  # ~11 reps over 4 buckets/table -> some buckets exceed B
+    actual = run(tile_copies(vecs, "vec_id", 5, n), 5 * B)
+    cross, within = lift_pairs(run(tile_copies(vecs, "vec_id", 2, n), 2 * B),
+                               n, "vec_a", "vec_b")
+    pred = expand_pairs(cross, within, n, 5, "vec_a", "vec_b")
+    assert actual.exceptAll(pred).count() == 0
+    assert pred.exceptAll(actual).count() == 0
+    got = actual.count()
+    assert got > 0
+    assert run(tile_copies(vecs, "vec_id", 5, n), None).count() > got
