@@ -212,3 +212,74 @@ def ngram_jaccard_pairs(shingles: DataFrame, max_id,
             ).cast("long").alias("jaccard_micro"),
         )
     )
+
+
+def connected_components(pairs: DataFrame, src: str = "doc_a",
+                         dst: str = "doc_b",
+                         max_iter: int = 30) -> DataFrame:
+    """Connected components over candidate near-dup pairs →
+    (doc_id, cluster_id) with cluster_id = the component's minimum
+    doc_id — the cluster-formation step a dedup pipeline runs after
+    MinHash/SimHash/embedding candidates, turning pairwise evidence
+    into one keep/drop decision per group.
+
+    Implementation is the alternating Large-Star / Small-Star
+    MapReduce algorithm (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14) re-expressed relationally: each
+    half-round is ONE groupBy-min on the node id plus ONE equi-join —
+    no driver-side graph state, every shuffle keyed on node id.
+    Converges in O(log n) rounds, and Large-Star's v > u split is the
+    published skew balancer: a giant component never funnels through a
+    single reducer key, because large neighbors re-attach to the
+    current minimum rather than piling onto the hub (at 10^12 docs a
+    boilerplate cluster IS a giant component — this is the operator's
+    scale story, same spirit as the LSH degenerate-bucket cap).
+    Each round is localCheckpoint()ed: iterative plans otherwise grow
+    Catalyst lineage exponentially (on a real cluster this becomes a
+    reliable checkpoint to the cluster FS).
+
+    Docs that appear in no pair are their own (absent) singleton
+    cluster; callers wanting them materialized can union the
+    complement.  Output is exactly one row per distinct doc id in
+    ``pairs``."""
+    E = (pairs.select(F.col(src).cast("long").alias("u"),
+                      F.col(dst).cast("long").alias("v"))
+         .filter(F.col("u") != F.col("v")).distinct()
+         .localCheckpoint(eager=True))
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.unionByName(e.select(F.col("v").alias("u"),
+                                     F.col("u").alias("v")))
+        mins = (sym.groupBy("u").agg(F.min("v").alias("mv"))
+                .select("u", F.least("mv", F.col("u")).alias("m")))
+        return (sym.join(mins, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .filter(F.col("u") != F.col("v")).distinct())
+
+    def small_star(e: DataFrame) -> DataFrame:
+        o = e.select(F.greatest("u", "v").alias("u"),
+                     F.least("u", "v").alias("v")).distinct()
+        mins = o.groupBy("u").agg(F.min("v").alias("m"))
+        return (o.join(mins, "u")
+                .select(F.explode(F.array("u", "v")).alias("n"), "m")
+                .filter(F.col("n") != F.col("m"))
+                .select(F.col("n").alias("u"), F.col("m").alias("v"))
+                .distinct())
+
+    for _ in range(max_iter):
+        nxt = small_star(large_star(E)).localCheckpoint(eager=True)
+        if nxt.exceptAll(E).isEmpty() and E.exceptAll(nxt).isEmpty():
+            E = nxt
+            break
+        E = nxt
+    else:
+        raise RuntimeError(f"connected_components: no convergence "
+                           f"in {max_iter} rounds")
+
+    # converged: E is a star forest (child -> component min)
+    roots = E.select(F.col("v").alias("doc_id"),
+                     F.col("v").alias("cluster_id")).distinct()
+    return (E.select(F.col("u").alias("doc_id"),
+                     F.col("v").alias("cluster_id"))
+            .unionByName(roots))

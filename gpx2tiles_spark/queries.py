@@ -481,8 +481,7 @@ _SHINGLES_SQL = """
       FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))
 """
 
-@register("minhash_lsh_pairs", f"""
-  WITH shingles AS ({_SHINGLES_SQL}),
+_MINHASH_CTES = f"""shingles AS ({_SHINGLES_SQL}),
   sigs AS (
     SELECT doc_id,
            {', '.join(f"MIN(md5('s{i}|' || shingle)) AS mh{i}" for i in range(8))}
@@ -491,16 +490,51 @@ _SHINGLES_SQL = """
     {' UNION ALL '.join(
         f"SELECT doc_id, {b} AS band, md5(mh{2*b} || '|' || mh{2*b+1}) AS band_key FROM sigs"
         for b in range(4))}
-  )
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-  WHERE a.doc_id < b.doc_id
+  ),
+  mh_pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+    WHERE a.doc_id < b.doc_id)"""
+
+@register("minhash_lsh_pairs", f"""
+  WITH {_MINHASH_CTES}
+  SELECT doc_a, doc_b FROM mh_pairs
 """)
 def q_minhash_lsh(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     sh = dedup.doc_shingles(docs, n=3)
     sigs = dedup.minhash_signatures(sh, num_hashes=8)
     return dedup.lsh_candidate_pairs(sigs, num_hashes=8, band_size=2)
+
+
+@register("dedup_clusters", f"""
+  WITH RECURSIVE {_MINHASH_CTES},
+  sym AS (
+    SELECT doc_a AS u, doc_b AS v FROM mh_pairs
+    UNION SELECT doc_b, doc_a FROM mh_pairs),
+  reach(u, v) AS (
+    SELECT u, v FROM sym
+    UNION
+    SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+  lab AS (SELECT u, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u)
+  SELECT CAST(u AS BIGINT) AS doc_id, CAST(cluster_id AS BIGINT) AS cluster_id
+  FROM lab
+""")
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup cluster formation: MinHash-LSH candidate pairs →
+    connected components → (doc_id, cluster_id = component min) — the
+    keep/drop decision a dedup pipeline derives from pairwise evidence
+    (reference analogy: gpx2tiles groups points into per-tile draw sets;
+    this groups documents into per-cluster dedup sets).  Spark side is
+    the alternating Large-Star/Small-Star O(log n) relational loop;
+    the oracle re-derives components as a recursive reachability
+    closure + min-label — same answer, different algorithm, so the
+    hash match checks the ALGORITHM, not a mirrored op tree."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = dedup.doc_shingles(docs, n=3)
+    sigs = dedup.minhash_signatures(sh, num_hashes=8)
+    pairs = dedup.lsh_candidate_pairs(sigs, num_hashes=8, band_size=2)
+    return dedup.connected_components(pairs)
 
 
 @register("simhash16", f"""

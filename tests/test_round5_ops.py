@@ -526,3 +526,69 @@ def test_sf10_pair_decade_prediction_identity_near_dup(spark):
     got = actual.count()
     assert got > 0
     assert run(tile_copies(vecs, "vec_id", 5, n), None).count() > got
+
+
+def _uf_min_labels(edges):
+    """Union-find reference: node -> component-min, nodes = edge endpoints."""
+    nodes = sorted({x for e in edges for x in e})
+    p = {x: x for x in nodes}
+
+    def find(x):
+        while p[x] != x:
+            p[x] = p[p[x]]
+            x = p[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            p[max(ra, rb)] = min(ra, rb)
+    comp: dict[int, list[int]] = {}
+    for x in nodes:
+        comp.setdefault(find(x), []).append(x)
+    return {x: min(mem) for mem in comp.values() for x in mem}
+
+
+@pytest.mark.parametrize("n_edges,seed", [(6, 0), (25, 1), (80, 2), (300, 3)])
+def test_connected_components_matches_union_find(spark, n_edges, seed):
+    """Large-Star/Small-Star cluster formation == union-find min-label
+    on random graphs across densities (forest -> single giant blob)."""
+    from gpx2tiles_spark.operators import dedup
+
+    rng = np.random.default_rng(seed)
+    edges = set()
+    while len(edges) < n_edges:
+        a, b = (int(x) for x in rng.integers(0, 45, 2))
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    df = spark.createDataFrame(sorted(edges), "doc_a long, doc_b long")
+    got = {r.doc_id: r.cluster_id
+           for r in dedup.connected_components(df).collect()}
+    assert got == _uf_min_labels(edges)
+
+
+def test_connected_components_chain_converges_logarithmically(spark):
+    """A 64-node path is the diameter worst case: naive min-propagation
+    needs ~64 rounds; the alternating star algorithm must finish well
+    inside its 30-round guard (O(log n)) and label everything 0."""
+    from gpx2tiles_spark.operators import dedup
+
+    df = spark.createDataFrame([(i, i + 1) for i in range(63)],
+                               "doc_a long, doc_b long")
+    got = {r.doc_id: r.cluster_id
+           for r in dedup.connected_components(df, max_iter=12).collect()}
+    assert got == {i: 0 for i in range(64)}
+
+
+def test_connected_components_outputs_one_row_per_doc(spark):
+    """Exactly one label per distinct endpoint; self/duplicate pairs
+    collapse; docs in no pair are absent by contract."""
+    from gpx2tiles_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 3), (5, 9), (9, 5), (5, 9)],
+        "doc_a long, doc_b long")
+    rows = dedup.connected_components(df).collect()
+    got = {r.doc_id: r.cluster_id for r in rows}
+    assert len(rows) == len(got) == 4          # 3 dropped (self), one row each
+    assert got == {1: 1, 2: 1, 5: 5, 9: 5}
