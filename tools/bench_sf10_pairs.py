@@ -258,6 +258,44 @@ def main() -> int:
                          "dropped_over_cap": int(bstats["dropped"])}}
     state["df"].unpersist()
 
+    # ---- dedup_clusters at sf10: the iterative operator's decade --------
+    # Components of (sf10 pair graph) = copy-grid expansion of the sf0.1
+    # components UNION a 100-copy clique per unpaired doc (copies share
+    # every bucket, so each doc's own copies always pair up): every copy
+    # of doc d gets label L(d) = d's sf0.1 component min (or d itself if
+    # d has no sf0.1 pair) — the base copy of the min is the global min.
+    pairs10 = minhash_pairs(docs10, 10_000).persist()
+    n_edges = pairs10.count()   # materialized OUTSIDE the timed loop so
+    # the CC figure measures the iterative rounds, not candidate gen
+
+    def run_cc():
+        state["df"] = dedup.connected_components(pairs10).persist()
+        state["rows"] = state["df"].count()
+
+    sec = timed("dedup_clusters", run_cc, attempts=1)
+    base_pairs = minhash_pairs(docs01, 10_000)
+    base_lab = dedup.connected_components(base_pairs)
+    all_docs = docs01.select(F.col("doc_id").cast("long"))
+    lab01 = (all_docs.join(base_lab, "doc_id", "left")
+             .select("doc_id", F.coalesce("cluster_id", "doc_id")
+                     .alias("cluster_id")))
+    pred = (lab01
+            .withColumn("_m", F.explode(F.sequence(F.lit(0),
+                                                   F.lit(COPIES - 1))))
+            .select((F.col("doc_id") + F.col("_m") * n_docs01)
+                    .alias("doc_id"), "cluster_id"))
+    diff = (state["df"].exceptAll(pred).count()
+            + pred.exceptAll(state["df"]).count())
+    n_clusters = state["df"].select("cluster_id").distinct().count()
+    results["dedup_clusters"] = {
+        "sec": round(sec, 3), "rows": state["rows"],
+        "prediction_diff_rows": diff, "match": diff == 0,
+        "n_clusters": n_clusters,
+        "docs_per_sec": int(n_docs10 / sec),
+        "edges": n_edges}
+    state["df"].unpersist()
+    pairs10.unpersist()
+
     out = {
         "metric": "sf10 pair-family decade (100x gate): closed-form set equality",
         "unit": "sec", "sf": 10.0, "cpus": cpus,
