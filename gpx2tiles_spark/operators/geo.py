@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .. import projection as P
+
 # lat in (-69.95, 69.95], lon in (-179.95, 179.95] — off tile boundaries
 LON_EXPR = "(CAST(event_id % 3600 AS DOUBLE) / 10.0) - 179.95"
 LAT_EXPR = "(CAST((event_id * 7 + user_id) % 1400 AS DOUBLE) / 10.0) - 69.95"
@@ -136,6 +138,123 @@ def clip_segments_to_tiles(segs: DataFrame, tile_px: int = 256,
         (F.col("gx0") + F.col("t1") * dx).alias("cx1"),
         (F.col("gy0") + F.col("t1") * dy).alias("cy1"),
     )
+
+
+def dbscan(points: DataFrame, eps: float, min_pts: int = 3) -> DataFrame:
+    """DBSCAN density clustering over a point stream (pid, lat, lon) →
+    (pid, cluster_id, is_core), noise excluded — the hotspot/stay-point
+    detector a GPS analytics stack runs downstream of the tiling engine
+    (reference analogy: gpx2tiles' per-tile point grouping is a fixed-
+    grid density census; DBSCAN is its shape-free generalization).
+
+    Fully relational, three bounded stages:
+
+    1. ε-neighbor pairs via an eps-sized grid: each point explodes to
+       its 3×3 cell neighborhood and equi-joins the home-cell side —
+       |Δlon| ≤ eps implies adjacent cells, so the equi-join is exact,
+       never a theta-join (the knn_bucketed pattern).  The self-pair
+       survives the d² ≤ eps² filter, so the neighbor COUNT includes
+       the point itself, matching the textbook minPts convention.
+    2. core = count ≥ min_pts; cluster formation = the existing
+       Large-Star/Small-Star ``connected_components`` over core-core
+       edges (O(log n) rounds, every shuffle keyed on node id).
+    3. border points (non-core with ≥1 core neighbor) take the MINIMUM
+       core-neighbor label — a deterministic tie-break where the
+       textbook algorithm is arrival-order-dependent.
+
+    Scale: callers should set eps so the expected ε-degree is O(1)
+    (e.g. ``eps = C/sqrt(n)`` under bounded density) — then the pair
+    table, the edge table, and every shuffle are LINEAR in n at any
+    corpus size; a fixed eps at growing density degrades to the
+    quadratic blow-up every exact DBSCAN has.  Distance is planar
+    squared degrees (no antimeridian wrap), bit-reproducible across
+    engines."""
+    eps2 = eps * eps
+    g = points.select(
+        F.col("pid").cast("long").alias("pid"), "lat", "lon",
+        F.floor(F.col("lon") / eps).cast("long").alias("cx"),
+        F.floor(F.col("lat") / eps).cast("long").alias("cy"))
+    offs = F.array(*[F.lit(i) for i in (-1, 0, 1)])
+    a = (g.withColumn("dx", F.explode(offs))
+          .withColumn("dy", F.explode(offs))
+          .select(F.col("pid").alias("pa"), F.col("lat").alias("la"),
+                  F.col("lon").alias("oa"),
+                  (F.col("cx") + F.col("dx")).alias("jx"),
+                  (F.col("cy") + F.col("dy")).alias("jy")))
+    b = g.select(F.col("pid").alias("pb"), F.col("lat").alias("lb"),
+                 F.col("lon").alias("ob"),
+                 F.col("cx").alias("jx"), F.col("cy").alias("jy"))
+    d2 = ((F.col("la") - F.col("lb")) * (F.col("la") - F.col("lb"))
+          + (F.col("oa") - F.col("ob")) * (F.col("oa") - F.col("ob")))
+    nb = (a.join(b, ["jx", "jy"]).filter(d2 <= F.lit(eps2))
+          .select("pa", "pb").persist())
+
+    cnt = nb.groupBy("pa").agg(F.count("*").alias("c"))
+    core = (cnt.filter(F.col("c") >= min_pts)
+            .select(F.col("pa").alias("pid")))
+    edges = (nb.filter(F.col("pa") < F.col("pb"))
+             .join(core.select(F.col("pid").alias("pa")), "pa", "leftsemi")
+             .join(core.select(F.col("pid").alias("pb")), "pb", "leftsemi"))
+
+    from .dedup import connected_components
+    cc = connected_components(edges, "pa", "pb")
+    core_lab = (core.join(cc.withColumnRenamed("doc_id", "pid"), "pid", "left")
+                .select("pid",
+                        F.coalesce("cluster_id", F.col("pid")).alias("cluster_id")))
+    border = (nb.join(core.select(F.col("pid").alias("pa")), "pa", "leftanti")
+              .join(core_lab.select(F.col("pid").alias("pb"), "cluster_id"), "pb")
+              .groupBy("pa").agg(F.min("cluster_id").alias("cluster_id"))
+              .select(F.col("pa").alias("pid"), "cluster_id",
+                      F.lit(0).alias("is_core")))
+    return (core_lab.withColumn("is_core", F.lit(1))
+            .unionByName(border))
+
+
+def track_hausdorff(points: DataFrame, z: int = 8,
+                    min_shared: int = 4) -> DataFrame:
+    """Near-duplicate TRACK detection: symmetric Hausdorff distance
+    between every candidate pair of tracks (track = one user's point
+    set) → (ua, ub, n_shared, hausdorff_micro).  This is the dedup
+    family's candidates→verify shape lifted from documents to
+    trajectories: the candidate generation is a shared-tile prefilter
+    (two tracks must co-occupy ≥ min_shared zoom-z tiles — the spatial
+    analogue of an LSH band match), the verify stage is the exact
+    max-of-min distance over the pair's point sets.
+
+    Scale: the prefilter bounds the verified pair count by tile
+    co-occupancy, never all-pairs; the per-pair |A|·|B| distance rows
+    materialize only for survivors (exactly like the LSH → jaccard
+    re-check).  The two joins re-attaching points are equi-joins on
+    user id; a hub user appearing in many pairs is the skew channel —
+    salt on the pair key if one emerges.  min over b then max over a
+    involves NO accumulation (pure selection over identically-derived
+    doubles), so the result is bit-reproducible across engines."""
+    tx = P.tilex_col(F.col("lon"), z)
+    ty = P.tiley_col(F.col("lat"), z)
+    tc = points.select(F.col("user_id").alias("uid"),
+                       tx.alias("tx"), ty.alias("ty")).distinct()
+    pairs = (tc.alias("a").join(tc.alias("b"), ["tx", "ty"])
+             .filter(F.col("a.uid") < F.col("b.uid"))
+             .groupBy(F.col("a.uid").alias("ua"), F.col("b.uid").alias("ub"))
+             .agg(F.count("*").alias("n_shared"))
+             .filter(F.col("n_shared") >= min_shared))
+    pa = points.select(F.col("user_id").alias("ua"), F.col("pid").alias("p_a"),
+                       F.col("lat").alias("la"), F.col("lon").alias("oa"))
+    pb = points.select(F.col("user_id").alias("ub"), F.col("pid").alias("p_b"),
+                       F.col("lat").alias("lb"), F.col("lon").alias("ob"))
+    d2 = ((F.col("la") - F.col("lb")) * (F.col("la") - F.col("lb"))
+          + (F.col("oa") - F.col("ob")) * (F.col("oa") - F.col("ob")))
+    j = (pairs.join(pa, "ua").join(pb, "ub")
+         .select("ua", "ub", "n_shared", "p_a", "p_b", d2.alias("d2")))
+    h_ab = (j.groupBy("ua", "ub", "n_shared", "p_a")
+            .agg(F.min("d2").alias("md"))
+            .groupBy("ua", "ub", "n_shared").agg(F.max("md").alias("h_ab")))
+    h_ba = (j.groupBy("ua", "ub", "p_b").agg(F.min("d2").alias("md"))
+            .groupBy("ua", "ub").agg(F.max("md").alias("h_ba")))
+    return (h_ab.join(h_ba, ["ua", "ub"])
+            .select("ua", "ub", "n_shared",
+                    F.floor(F.greatest("h_ab", "h_ba") * F.lit(1000000.0))
+                    .cast("long").alias("hausdorff_micro")))
 
 
 def polygon_edges(polys: DataFrame) -> DataFrame:

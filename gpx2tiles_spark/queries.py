@@ -416,6 +416,100 @@ def q_pip_polygons(spark, sf_dir):
     return geo.points_in_polygons(pts, polys)
 
 
+@register("dbscan_clusters", f"""
+  WITH RECURSIVE pts AS ({PTS_SQL}),
+  np AS (SELECT COUNT(*) AS n FROM pts),
+  e AS (SELECT 40.0 / sqrt(CAST(n AS DOUBLE)) AS eps FROM np),
+  g AS (
+    SELECT pid, lat, lon,
+           CAST(FLOOR(lon / eps) AS BIGINT) AS cx,
+           CAST(FLOOR(lat / eps) AS BIGINT) AS cy
+    FROM pts CROSS JOIN e),
+  off AS (SELECT * FROM (VALUES (-1), (0), (1)) o(d)),
+  nb AS (
+    SELECT a.pid AS pa, b.pid AS pb
+    FROM g a CROSS JOIN off ox CROSS JOIN off oy CROSS JOIN e
+    JOIN g b ON b.cx = a.cx + ox.d AND b.cy = a.cy + oy.d
+    WHERE (a.lat - b.lat) * (a.lat - b.lat)
+        + (a.lon - b.lon) * (a.lon - b.lon) <= eps * eps),
+  cnt AS (SELECT pa, COUNT(*) AS c FROM nb GROUP BY pa),
+  core AS (SELECT pa AS pid FROM cnt WHERE c >= 3),
+  ed AS (
+    SELECT pa AS u, pb AS v FROM nb
+    WHERE pa < pb AND pa IN (SELECT pid FROM core)
+      AND pb IN (SELECT pid FROM core)),
+  sym AS (SELECT u, v FROM ed UNION SELECT v, u FROM ed),
+  reach(u, v) AS (
+    SELECT u, v FROM sym
+    UNION
+    SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+  lab AS (SELECT u, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u),
+  core_lab AS (
+    SELECT c.pid, COALESCE(l.cluster_id, c.pid) AS cluster_id
+    FROM core c LEFT JOIN lab l ON l.u = c.pid),
+  border AS (
+    SELECT n.pa AS pid, MIN(cl.cluster_id) AS cluster_id
+    FROM nb n JOIN core_lab cl ON n.pb = cl.pid
+    WHERE n.pa NOT IN (SELECT pid FROM core)
+    GROUP BY n.pa)
+  SELECT pid, cluster_id, 1 AS is_core FROM core_lab
+  UNION ALL
+  SELECT pid, cluster_id, 0 AS is_core FROM border
+""")
+def q_dbscan_clusters(spark, sf_dir):
+    """DBSCAN hotspot clustering over the derived point stream with
+    density-invariant auto-ε (40/√n keeps the expected ε-degree O(1),
+    so the neighbor-pair table stays LINEAR in n — the property that
+    lets the grid-join survive 100 TB; a fixed ε would go quadratic).
+    Spark side: eps-grid 3×3 equi-join → core filter → Large-Star/
+    Small-Star components → deterministic min-label border assignment.
+    Oracle re-derives components as a recursive reachability closure —
+    different algorithm, same answer, so the hash match checks the
+    ALGORITHM (the dedup_clusters discipline).  The one count() before
+    the plan is the ε auto-tune (bounded: a single scalar)."""
+    pts = _points(spark, sf_dir).select("pid", "lat", "lon")
+    n = pts.count()
+    return geo.dbscan(pts, eps=40.0 / math.sqrt(float(n)), min_pts=3)
+
+
+@register("track_hausdorff", f"""
+  WITH pts AS ({PTS_SQL}),
+  tc AS (
+    SELECT DISTINCT user_id AS uid, {tx_sql('lon', '8')} AS tx,
+           {ty_sql('lat', '8')} AS ty
+    FROM pts),
+  pairs AS (
+    SELECT a.uid AS ua, b.uid AS ub, COUNT(*) AS n_shared
+    FROM tc a JOIN tc b ON a.tx = b.tx AND a.ty = b.ty AND a.uid < b.uid
+    GROUP BY 1, 2 HAVING COUNT(*) >= 4),
+  j AS (
+    SELECT p.ua, p.ub, p.n_shared, a.pid AS p_a, b.pid AS p_b,
+           (a.lat - b.lat) * (a.lat - b.lat)
+         + (a.lon - b.lon) * (a.lon - b.lon) AS d2
+    FROM pairs p
+    JOIN pts a ON a.user_id = p.ua
+    JOIN pts b ON b.user_id = p.ub),
+  h_ab AS (
+    SELECT ua, ub, n_shared, MAX(md) AS h_ab FROM (
+      SELECT ua, ub, n_shared, p_a, MIN(d2) AS md
+      FROM j GROUP BY 1, 2, 3, 4) t GROUP BY 1, 2, 3),
+  h_ba AS (
+    SELECT ua, ub, MAX(md) AS h_ba FROM (
+      SELECT ua, ub, p_b, MIN(d2) AS md
+      FROM j GROUP BY 1, 2, 3) t GROUP BY 1, 2)
+  SELECT a.ua, a.ub, a.n_shared,
+         CAST(FLOOR(GREATEST(a.h_ab, b.h_ba) * 1000000.0) AS BIGINT)
+           AS hausdorff_micro
+  FROM h_ab a JOIN h_ba b ON a.ua = b.ua AND a.ub = b.ub
+""")
+def q_track_hausdorff(spark, sf_dir):
+    """Trajectory near-dup: shared-z8-tile candidate prefilter (the
+    spatial LSH band) → exact symmetric Hausdorff over each surviving
+    pair's point sets.  Max-of-min is pure selection over identically
+    derived doubles — no accumulation, so bit-reproducible."""
+    return geo.track_hausdorff(_points(spark, sf_dir), z=8, min_shared=4)
+
+
 @register("sessionize", """
   WITH s AS (
     SELECT user_id, event_id,

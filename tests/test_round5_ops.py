@@ -592,3 +592,145 @@ def test_connected_components_outputs_one_row_per_doc(spark):
     got = {r.doc_id: r.cluster_id for r in rows}
     assert len(rows) == len(got) == 4          # 3 dropped (self), one row each
     assert got == {1: 1, 2: 1, 5: 5, 9: 5}
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN + track-Hausdorff (round-5 spatial additions)
+# ---------------------------------------------------------------------------
+
+def _naive_dbscan(pts, eps, min_pts):
+    """Textbook O(n²) DBSCAN with the operator's deterministic label
+    rules: cluster id = min pid over the core-core component, border =
+    min label among core neighbors, noise absent."""
+    eps2 = eps * eps
+    ids = [p[0] for p in pts]
+    pos = {p[0]: (p[1], p[2]) for p in pts}
+
+    def d2(a, b):
+        (la, oa), (lb, ob) = pos[a], pos[b]
+        return (la - lb) * (la - lb) + (oa - ob) * (oa - ob)
+
+    neigh = {i: [j for j in ids if d2(i, j) <= eps2] for i in ids}
+    core = {i for i in ids if len(neigh[i]) >= min_pts}
+    parent = {i: i for i in core}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in core:
+        for j in neigh[i]:
+            if j in core and j != i:
+                parent[find(i)] = find(j)
+    comp = {}
+    for i in core:
+        comp.setdefault(find(i), []).append(i)
+    label = {}
+    for members in comp.values():
+        m = min(members)
+        for i in members:
+            label[i] = m
+    out = {i: (label[i], 1) for i in core}
+    for i in ids:
+        if i in core:
+            continue
+        cands = [label[j] for j in neigh[i] if j in core]
+        if cands:
+            out[i] = (min(cands), 0)
+    return out
+
+
+@pytest.mark.parametrize("seed,min_pts", [(7, 3), (11, 4)])
+def test_dbscan_matches_naive(spark, seed, min_pts):
+    from gpx2tiles_spark.operators import geo
+
+    rng = np.random.default_rng(seed)
+    pts = [(int(i), float(lat), float(lon)) for i, (lat, lon) in
+           enumerate(zip(rng.uniform(-40, 40, 250), rng.uniform(-90, 90, 250)))]
+    # a dense blob to guarantee cores + a border satellite
+    pts += [(1000 + k, 10.0 + 0.01 * k, 20.0 + 0.01 * k) for k in range(6)]
+    df = spark.createDataFrame(pts, "pid long, lat double, lon double")
+    eps = 6.0
+    got = {r.pid: (r.cluster_id, r.is_core)
+           for r in geo.dbscan(df, eps=eps, min_pts=min_pts).collect()}
+    want = _naive_dbscan(pts, eps, min_pts)
+    assert got == want
+    assert any(c == 0 for _, c in want.values()) or min_pts == 3
+    assert sum(c for _, c in want.values()) > 0  # cores exist
+
+
+def test_dbscan_all_noise_is_empty(spark):
+    from gpx2tiles_spark.operators import geo
+
+    pts = [(i, float(10 * i), float(-100 + 17 * i)) for i in range(8)]
+    df = spark.createDataFrame(pts, "pid long, lat double, lon double")
+    assert geo.dbscan(df, eps=0.5, min_pts=3).count() == 0
+
+
+def test_dbscan_colocated_duplicates_form_core(spark):
+    """Exact co-located duplicates are ε-neighbors at any ε — the
+    degenerate shape sf10 tiling produces; they must clique into one
+    cluster labeled by the minimum pid."""
+    from gpx2tiles_spark.operators import geo
+
+    pts = [(i, 5.0, 5.0) for i in (4, 9, 2)] + [(77, 60.0, 60.0)]
+    df = spark.createDataFrame(pts, "pid long, lat double, lon double")
+    got = {r.pid: (r.cluster_id, r.is_core)
+           for r in geo.dbscan(df, eps=0.1, min_pts=3).collect()}
+    assert got == {2: (2, 1), 4: (2, 1), 9: (2, 1)}
+
+
+def _naive_hausdorff(tracks, z, min_shared):
+    import math as _m
+
+    from gpx2tiles_spark import projection as P
+
+    cells = {u: {(int(P.lon_to_tilex(np.array([lon]), z)[0]),
+                  int(P.lat_to_tiley(np.array([lat]), z)[0]))
+                 for _, lat, lon in tps} for u, tps in tracks.items()}
+    out = {}
+    for ua in sorted(tracks):
+        for ub in sorted(tracks):
+            if ua >= ub:
+                continue
+            shared = len(cells[ua] & cells[ub])
+            if shared < min_shared:
+                continue
+
+            def h(xs, ys):
+                return max(min((xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)
+                               for _, xb, yb in ys) for _, xa, ya in xs)
+
+            hm = max(h(tracks[ua], tracks[ub]), h(tracks[ub], tracks[ua]))
+            out[(ua, ub)] = (shared, int(_m.floor(hm * 1000000.0)))
+    return out
+
+
+def test_track_hausdorff_matches_naive(spark):
+    from gpx2tiles_spark.operators import geo
+
+    rng = np.random.default_rng(3)
+    tracks = {}
+    pid = 0
+    for u in range(6):
+        base_lat, base_lon = rng.uniform(-30, 30), rng.uniform(-60, 60)
+        tps = []
+        for _ in range(12):
+            tps.append((pid, float(base_lat + rng.uniform(-2, 2)),
+                        float(base_lon + rng.uniform(-2, 2))))
+            pid += 1
+        tracks[u] = tps
+    # user 6 = a shifted near-copy of user 0 (the near-dup this exists for)
+    tracks[6] = [(pid + k, lat + 0.05, lon + 0.05)
+                 for k, (_, lat, lon) in enumerate(tracks[0])]
+    rows = [(u, p, lat, lon) for u, tps in tracks.items()
+            for p, lat, lon in tps]
+    df = spark.createDataFrame(
+        rows, "user_id long, pid long, lat double, lon double")
+    got = {(r.ua, r.ub): (r.n_shared, r.hausdorff_micro)
+           for r in geo.track_hausdorff(df, z=6, min_shared=1).collect()}
+    want = _naive_hausdorff(tracks, z=6, min_shared=1)
+    assert got == want
+    assert (0, 6) in want and want[(0, 6)][1] <= 5000 + 1  # near-copy is close

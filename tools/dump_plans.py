@@ -75,6 +75,19 @@ SECTIONS: list[tuple[str, str, str]] = [
      "Multi-table hyperplane LSH ANN: (table, bucket) equi-join "
      "replaces the brute-force cross join; exact re-rank inside "
      "candidates only."),
+    ("dbscan_clusters", "dbscan_clusters",
+     "DBSCAN (round-5): ε-grid 3×3 equi-join builds the neighbor "
+     "pairs (auto-ε = 40/√n keeps the pair table LINEAR in n), "
+     "core/border derivation over the persisted pair cache, and the "
+     "converged Large-Star/Small-Star star forest arrives via "
+     "localCheckpoint scans — no nested loop, no theta-join, every "
+     "shuffle keyed on cell or node id."),
+    ("track_hausdorff", "track_hausdorff",
+     "Trajectory near-dup (round-5): shared-tile prefilter "
+     "(distinct-cell self-join) then the surviving pair table "
+     "BROADCASTS onto both point re-attach joins; max-of-min is two "
+     "partially-aggregated passes — the shuffle carries one row per "
+     "(pair, anchor point), never the |A|·|B| distance rows."),
     ("embedding_near_dup", "embedding_near_dup",
      "Embedding near-dup (round-5 shape): exact duplicates collapse "
      "FIRST (one window over the embedding array itself), the whole "
