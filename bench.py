@@ -109,6 +109,16 @@ def run_bench(sf_dir: str, cpus: int, n_render_docs: int | None = None):
         timings[name] = round(sec, 3)
         noise[name] = info
 
+    # round-5 additions, timed with the same clean gate but kept OUT of
+    # the headline sum so `value` stays comparable across rounds
+    extra_timings: dict[str, float] = {}
+    for name in ("dbscan_clusters", "track_hausdorff"):
+        def run(q=qs[name]):
+            q(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        sec, info = _timed_clean(run)
+        extra_timings[name] = round(sec, 3)
+        noise[name] = info
+
     # headline: full tile-pyramid render on the deterministic corpus
     # (sized so the render is work-bound, not Spark-fixed-cost-bound)
     n_docs = n_render_docs or {"0.001": 96, "0.01": 768, "0.1": 4000}.get(sf, 768)
@@ -175,6 +185,7 @@ def run_bench(sf_dir: str, cpus: int, n_render_docs: int | None = None):
         "tile_assignments_per_sec": round(n_assign / render_sec, 1),
         "points_parsed_per_sec": round(n_points / parse_sec, 1),
         "ann_recall": ann_recall,
+        "extra_queries": extra_timings,
         "noise": noise,
     }
     spark.stop()

@@ -131,6 +131,63 @@ def q_zoom_census(spark, sf_dir):
     )
 
 
+def _hll_census_sql() -> str:
+    from .operators.sketch import ALPHA_M2, hll_zbits_sql
+
+    zb = hll_zbits_sql("substr(h, 3, 15)")
+    s_tot = "sp + (256 - mp) * 1073741824"
+    raw = (f"CAST('{ALPHA_M2!r}' AS DOUBLE)"
+           f" / (CAST({s_tot} AS DOUBLE) / 1073741824.0)")
+    est = (f"CASE WHEN {raw} <= 640.0 AND (256 - mp) > 0"
+           f" THEN 256.0 * LN(256.0 / CAST(256 - mp AS DOUBLE))"
+           f" ELSE {raw} END")
+    return f"""
+  WITH pts AS ({PTS_SQL}),
+  zs AS (SELECT CAST(unnest(generate_series(1, 8)) AS INT) AS z),
+  cells AS (
+    SELECT z, CAST(z AS VARCHAR) || '|' || CAST({tx_sql('lon', 'z')} AS VARCHAR)
+           || '|' || CAST({ty_sql('lat', 'z')} AS VARCHAR) AS ck
+    FROM pts CROSS JOIN zs),
+  hx AS (SELECT z, ck, md5(ck) AS h FROM cells),
+  rr AS (SELECT z, substr(h, 1, 2) AS bucket, LEAST({zb} + 1, 30) AS reg0
+         FROM hx),
+  regs AS (SELECT z, bucket, MAX(reg0) AS reg FROM rr GROUP BY 1, 2),
+  agg AS (SELECT z, SUM(CAST(POW(2.0, 30 - reg) AS BIGINT)) AS sp,
+                 COUNT(*) AS mp
+          FROM regs GROUP BY z),
+  ex AS (SELECT z, COUNT(DISTINCT ck) AS n_exact FROM cells GROUP BY z)
+  SELECT ex.z, ex.n_exact,
+         CAST(FLOOR(({est}) * 1000000.0) AS BIGINT) AS hll_micro
+  FROM ex JOIN agg ON agg.z = ex.z
+"""
+
+
+@register("hll_zoom_census", _hll_census_sql())
+def q_hll_zoom_census(spark, sf_dir):
+    """Per-zoom distinct-tile census via the deterministic HLL sketch
+    (operators/sketch.py) NEXT TO the exact count — one row per zoom
+    carries both, so the oracle hash-checks the estimator itself (md5
+    registers + exact-integer register sum make the estimate
+    bit-reproducible across engines).  The sketch is the 100 TB path:
+    registers are a map-side-combinable groupBy-MAX, ≤ 256 rows per
+    zoom cross the wire; the exact COUNT(DISTINCT) rides along here
+    only as the accuracy witness (reference analogy: print_zoom_stats'
+    per-zoom tile walk, gpx2tiles.c:771-812)."""
+    from .operators import sketch
+
+    pts = _points(spark, sf_dir).withColumn(
+        "z", F.explode(F.sequence(F.lit(1), F.lit(8))))
+    ck = F.concat_ws(
+        "|", F.col("z").cast("string"),
+        P.tilex_col(F.col("lon"), F.col("z")).cast("string"),
+        P.tiley_col(F.col("lat"), F.col("z")).cast("string"))
+    keyed = pts.select("z", ck.alias("ck"))
+    regs = sketch.hll_registers(keyed, F.col("ck"), ["z"])
+    est = sketch.hll_estimate(regs, ["z"])
+    exact = keyed.groupBy("z").agg(F.countDistinct("ck").alias("n_exact"))
+    return exact.join(est, "z")
+
+
 # pixel positions: exp-form inverse Mercator on BOTH sides so the op trees
 # match exactly (DuckDB has no sinh)
 def _pixel_sql(z: int) -> str:

@@ -734,3 +734,57 @@ def test_track_hausdorff_matches_naive(spark):
     want = _naive_hausdorff(tracks, z=6, min_shared=1)
     assert got == want
     assert (0, 6) in want and want[(0, 6)][1] <= 5000 + 1  # near-copy is close
+
+
+# ---------------------------------------------------------------------------
+# Deterministic HLL sketch
+# ---------------------------------------------------------------------------
+
+def _hll_est(spark, keys, group="g"):
+    from pyspark.sql import functions as F
+
+    from gpx2tiles_spark.operators import sketch
+
+    df = spark.createDataFrame([(g, k) for g, k in keys], "g int, ck string")
+    regs = sketch.hll_registers(df, F.col("ck"), [group])
+    return {r.g: r.hll_micro / 1e6
+            for r in sketch.hll_estimate(regs, [group]).collect()}
+
+
+def test_hll_accuracy_within_standard_error(spark):
+    """Relative error within 4·(1.04/√m) ≈ 26% for m=256 at three
+    cardinalities (the standard-error bound; 4σ keeps the fixed seed
+    deterministic-safe)."""
+    keys = [(i, f"k{i}-{j}") for i, n in enumerate((500, 5000, 50000))
+            for j in range(n)]
+    got = _hll_est(spark, keys)
+    for i, n in enumerate((500, 5000, 50000)):
+        assert abs(got[i] - n) / n < 4 * 1.04 / 16, (i, n, got[i])
+
+
+def test_hll_small_range_linear_counting(spark):
+    got = _hll_est(spark, [(0, f"x{j}") for j in range(7)])
+    assert abs(got[0] - 7) < 1.0  # linear counting is near-exact here
+
+
+def test_hll_duplicate_insensitive(spark):
+    base = [(0, f"d{j}") for j in range(3000)]
+    assert _hll_est(spark, base) == _hll_est(spark, base * 3)
+
+
+def test_hll_merge_equals_union_sketch(spark):
+    from pyspark.sql import functions as F
+
+    from gpx2tiles_spark.operators import sketch
+
+    a = spark.createDataFrame([(0, f"a{j}") for j in range(4000)],
+                              "g int, ck string")
+    b = spark.createDataFrame([(0, f"a{j}") for j in range(2000, 6000)],
+                              "g int, ck string")
+    ra = sketch.hll_registers(a, F.col("ck"), ["g"])
+    rb = sketch.hll_registers(b, F.col("ck"), ["g"])
+    merged = sketch.hll_estimate(sketch.hll_merge(ra, rb, ["g"]), ["g"])
+    union = sketch.hll_estimate(
+        sketch.hll_registers(a.unionByName(b), F.col("ck"), ["g"]), ["g"])
+    assert [tuple(r) for r in merged.collect()] == \
+        [tuple(r) for r in union.collect()]
