@@ -483,10 +483,16 @@ def q_pip_polygons(spark, sf_dir):
            CAST(FLOOR(lat / eps) AS BIGINT) AS cy
     FROM pts CROSS JOIN e),
   off AS (SELECT * FROM (VALUES (-1), (0), (1)) o(d)),
+  ga AS (
+    -- materialize the exploded neighbor-cell keys BEFORE the join:
+    -- an ON with arithmetic (b.cx = a.cx + ox.d) defeats DuckDB's
+    -- hash-join planning and degrades to a blockwise loop at sf1
+    SELECT a.pid, a.lat, a.lon, a.cx + ox.d AS jx, a.cy + oy.d AS jy
+    FROM g a CROSS JOIN off ox CROSS JOIN off oy),
   nb AS (
     SELECT a.pid AS pa, b.pid AS pb
-    FROM g a CROSS JOIN off ox CROSS JOIN off oy CROSS JOIN e
-    JOIN g b ON b.cx = a.cx + ox.d AND b.cy = a.cy + oy.d
+    FROM ga a JOIN g b ON b.cx = a.jx AND b.cy = a.jy
+    CROSS JOIN e
     WHERE (a.lat - b.lat) * (a.lat - b.lat)
         + (a.lon - b.lon) * (a.lon - b.lon) <= eps * eps),
   cnt AS (SELECT pa, COUNT(*) AS c FROM nb GROUP BY pa),
@@ -535,10 +541,17 @@ def q_dbscan_clusters(spark, sf_dir):
     SELECT DISTINCT user_id AS uid, {tx_sql('lon', '8')} AS tx,
            {ty_sql('lat', '8')} AS ty
     FROM pts),
-  pairs AS (
+  pairs0 AS (
     SELECT a.uid AS ua, b.uid AS ub, COUNT(*) AS n_shared
     FROM tc a JOIN tc b ON a.tx = b.tx AND a.ty = b.ty AND a.uid < b.uid
     GROUP BY 1, 2 HAVING COUNT(*) >= 4),
+  pairs AS (
+    SELECT ua, ub, n_shared FROM (
+      SELECT ua, ub, n_shared,
+             ROW_NUMBER() OVER (PARTITION BY ua
+                                ORDER BY n_shared DESC, ub) AS rk
+      FROM pairs0) t
+    WHERE rk <= 4),
   j AS (
     SELECT p.ua, p.ub, p.n_shared, a.pid AS p_a, b.pid AS p_b,
            (a.lat - b.lat) * (a.lat - b.lat)
@@ -561,10 +574,14 @@ def q_dbscan_clusters(spark, sf_dir):
 """)
 def q_track_hausdorff(spark, sf_dir):
     """Trajectory near-dup: shared-z8-tile candidate prefilter (the
-    spatial LSH band) → exact symmetric Hausdorff over each surviving
-    pair's point sets.  Max-of-min is pure selection over identically
-    derived doubles — no accumulation, so bit-reproducible."""
-    return geo.track_hausdorff(_points(spark, sf_dir), z=8, min_shared=4)
+    spatial LSH band) capped at each track's 4 most-overlapping
+    partners (verified pairs ≤ 4n at ANY density — measured 389→470k
+    uncapped pairs across one decade motivated the budget) → exact
+    symmetric Hausdorff over each surviving pair's point sets.
+    Max-of-min is pure selection over identically derived doubles —
+    no accumulation, so bit-reproducible."""
+    return geo.track_hausdorff(_points(spark, sf_dir), z=8, min_shared=4,
+                               max_pairs_per_track=4)
 
 
 @register("sessionize", """

@@ -730,10 +730,33 @@ def test_track_hausdorff_matches_naive(spark):
     df = spark.createDataFrame(
         rows, "user_id long, pid long, lat double, lon double")
     got = {(r.ua, r.ub): (r.n_shared, r.hausdorff_micro)
-           for r in geo.track_hausdorff(df, z=6, min_shared=1).collect()}
+           for r in geo.track_hausdorff(
+               df, z=6, min_shared=1, max_pairs_per_track=100).collect()}
     want = _naive_hausdorff(tracks, z=6, min_shared=1)
     assert got == want
     assert (0, 6) in want and want[(0, 6)][1] <= 5000 + 1  # near-copy is close
+
+
+def test_track_hausdorff_pair_budget_keeps_top_overlaps(spark):
+    """The per-track verify budget keeps each ua's most-overlapping
+    partners with the deterministic (n_shared desc, ub asc) order."""
+    from gpx2tiles_spark.operators import geo
+
+    # user 0 overlaps users 1..5 with decreasing overlap; cap 2 must
+    # keep exactly the two largest (ub = 1, 2)
+    rows = []
+    pid = 0
+    for u in range(6):
+        n_cells = 12 if u == 0 else 12 - 2 * (u - 1)   # 12,12,10,8,6,4
+        for c in range(n_cells):
+            rows.append((u, pid, 10.0 + 5.0 * c, -60.0)); pid += 1
+    df = spark.createDataFrame(
+        rows, "user_id long, pid long, lat double, lon double")
+    got = geo.track_hausdorff(df, z=4, min_shared=1,
+                              max_pairs_per_track=2).collect()
+    kept = sorted((r.ua, r.ub) for r in got)
+    assert (0, 1) in kept and (0, 2) in kept
+    assert all(ub in (1, 2) for ua, ub in kept if ua == 0)
 
 
 # ---------------------------------------------------------------------------
