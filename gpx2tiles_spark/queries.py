@@ -2254,6 +2254,52 @@ def q_streaming_windowed_counts(spark, sf_dir):
     return out
 
 
+@register("streaming_hll_census", _hll_census_sql())
+def q_streaming_hll_census(spark, sf_dir):
+    """Streaming twin of `hll_zoom_census`: the events table replays as
+    a 2-file event-time stream; HLL registers are maintained as a
+    COMPLETE-mode streaming groupBy-MAX — legal without a watermark
+    because the sketch state is permanently bounded at ≤ 256 rows per
+    zoom (the sketch IS its own state bound, the property that makes a
+    100 TB streaming distinct-census feasible).  Because register max
+    commutes with union, the converged stream sketch equals the batch
+    sketch bit-for-bit, so this row reuses the batch oracle SQL
+    verbatim (n_exact rides along from the batch table as the
+    accuracy witness)."""
+    import shutil
+
+    from .operators import sketch
+    from .streaming.live import hll_registers_stream
+
+    ev = _t(spark, sf_dir, "events")
+    tmp = _stage_event_stream(spark, ev, 2)
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(os.path.join(tmp, "in")))
+    pts = geo.derived_points(stream).withColumn(
+        "z", F.explode(F.sequence(F.lit(1), F.lit(8))))
+    ck = F.concat_ws(
+        "|", F.col("z").cast("string"),
+        P.tilex_col(F.col("lon"), F.col("z")).cast("string"),
+        P.tiley_col(F.col("lat"), F.col("z")).cast("string"))
+    keyed = pts.select("z", ck.alias("ck"))
+    name = f"shll_{abs(hash(sf_dir)) % 99999}"
+    q = (hll_registers_stream(keyed, ["z"])
+         .writeStream.format("memory").queryName(name)
+         .outputMode("complete")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    est = sketch.hll_estimate(spark.table(name), ["z"])
+    exact = (geo.derived_points(ev)
+             .withColumn("z", F.explode(F.sequence(F.lit(1), F.lit(8))))
+             .select("z", ck.alias("ck"))
+             .groupBy("z").agg(F.countDistinct("ck").alias("n_exact")))
+    out = exact.join(est, "z").persist()
+    out.count()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 @register("streaming_dedup", "SELECT event_id FROM events")
 def q_streaming_dedup(spark, sf_dir):
     """Streaming exactly-once dedup (dropDuplicatesWithinWatermark —

@@ -158,3 +158,23 @@ def sessionize_stateful(stream_events: DataFrame,
         _session_fn(gap_minutes * 60.0),
         SESSION_OUTPUT, SESSION_STATE,
         "update", GroupStateTimeout.NoTimeout)
+
+
+def hll_registers_stream(stream_keyed: DataFrame,
+                         group_cols: list[str]) -> DataFrame:
+    """Streaming HLL register maintenance — the sketch operator
+    (operators/sketch.py) lifted onto an unbounded stream.
+
+    Register MAX is associative, commutative and MONOTONE, so it is a
+    legal streaming aggregation with PERMANENTLY BOUNDED state: ≤ m
+    (256) rows per group, forever, no watermark needed — the sketch IS
+    its own state bound.  Complete-mode output re-emits the ≤ m·groups
+    register table each trigger; a downstream batch ``hll_estimate``
+    turns any snapshot into the cardinality estimate, and because max
+    commutes with union, the converged replay equals the batch sketch
+    exactly (the oracle row checks precisely this).
+
+    ``stream_keyed`` needs (group_cols..., ck: string)."""
+    from ..operators.sketch import hll_registers
+
+    return hll_registers(stream_keyed, F.col("ck"), group_cols)

@@ -811,3 +811,16 @@ def test_hll_merge_equals_union_sketch(spark):
         sketch.hll_registers(a.unionByName(b), F.col("ck"), ["g"]), ["g"])
     assert [tuple(r) for r in merged.collect()] == \
         [tuple(r) for r in union.collect()]
+
+
+def test_streaming_hll_census_equals_batch(spark):
+    """Register max commutes with union ⇒ the converged 2-file replay
+    sketch equals the batch sketch BIT-FOR-BIT (same hll_micro), not
+    just approximately."""
+    from gpx2tiles_spark.queries import _REGISTRY
+
+    batch = {r.z: (r.n_exact, r.hll_micro)
+             for r in _REGISTRY["hll_zoom_census"][0](spark, SF_SMOKE).collect()}
+    stream = {r.z: (r.n_exact, r.hll_micro)
+              for r in _REGISTRY["streaming_hll_census"][0](spark, SF_SMOKE).collect()}
+    assert stream == batch and len(batch) == 8
