@@ -188,6 +188,63 @@ def q_hll_zoom_census(spark, sf_dir):
     return exact.join(est, "z")
 
 
+@register("tile_occupancy_quantiles", f"""
+  WITH pts AS ({PTS_SQL}),
+  zs AS (SELECT CAST(unnest(generate_series(1, 8)) AS INT) AS z),
+  tiles AS (
+    SELECT z, {tx_sql('lon', 'z')} AS tx, {ty_sql('lat', 'z')} AS ty,
+           COUNT(*) AS point_cnt
+    FROM pts CROSS JOIN zs GROUP BY 1, 2, 3),
+  rnk AS (
+    SELECT z, point_cnt,
+           ROW_NUMBER() OVER (PARTITION BY z
+                              ORDER BY point_cnt, tx, ty) AS rn,
+           COUNT(*) OVER (PARTITION BY z) AS n_tiles
+    FROM tiles)
+  SELECT z, MAX(n_tiles) AS n_tiles,
+         MAX(CASE WHEN rn = GREATEST(CAST(CEIL(CAST(0.5 AS DOUBLE)
+               * CAST(n_tiles AS DOUBLE)) AS BIGINT), 1)
+             THEN point_cnt END) AS p50,
+         MAX(CASE WHEN rn = GREATEST(CAST(CEIL(CAST(0.9 AS DOUBLE)
+               * CAST(n_tiles AS DOUBLE)) AS BIGINT), 1)
+             THEN point_cnt END) AS p90,
+         MAX(CASE WHEN rn = GREATEST(CAST(CEIL(CAST(0.99 AS DOUBLE)
+               * CAST(n_tiles AS DOUBLE)) AS BIGINT), 1)
+             THEN point_cnt END) AS p99
+  FROM rnk GROUP BY z
+""")
+def q_tile_occupancy_quantiles(spark, sf_dir):
+    """Per-zoom skew profile: DISC quantiles (p50/p90/p99) of the
+    per-tile point-count distribution — the skew diagnostic that
+    decides when the render's salted path must engage.  DISC (selection
+    at position ceil(q·n)), NOT interpolated: selection over integers
+    is bit-reproducible where CONT interpolation's float blend is not.
+    The quantile literals are forced to DOUBLE on both sides — DuckDB
+    would otherwise evaluate 0.99·n in exact DECIMAL and ceil one off
+    from the double product when n is a multiple of 100.  One window
+    over the per-tile counts (the same single-shuffle shape as
+    zoom_census); at 10^12 points the tile table this ranks is already
+    the small aggregate."""
+    counts = q_tile_counts(spark, sf_dir)
+    wr = Window.partitionBy("z").orderBy("point_cnt", "tx", "ty")
+    wn = Window.partitionBy("z")
+    rnk = counts.select(
+        "z", "point_cnt",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n_tiles"))
+
+    def pick(q, name):
+        idx = F.greatest(
+            F.ceil(F.lit(q) * F.col("n_tiles").cast("double")).cast("long"),
+            F.lit(1).cast("long"))
+        return F.max(F.when(F.col("rn") == idx,
+                            F.col("point_cnt"))).alias(name)
+
+    return rnk.groupBy("z").agg(
+        F.max("n_tiles").alias("n_tiles"),
+        pick(0.5, "p50"), pick(0.9, "p90"), pick(0.99, "p99"))
+
+
 # pixel positions: exp-form inverse Mercator on BOTH sides so the op trees
 # match exactly (DuckDB has no sinh)
 def _pixel_sql(z: int) -> str:

@@ -824,3 +824,25 @@ def test_streaming_hll_census_equals_batch(spark):
     stream = {r.z: (r.n_exact, r.hll_micro)
               for r in _REGISTRY["streaming_hll_census"][0](spark, SF_SMOKE).collect()}
     assert stream == batch and len(batch) == 8
+
+
+def test_tile_occupancy_quantiles_match_numpy_disc(spark):
+    """DISC quantiles must equal numpy's inverted_cdf (selection at
+    ceil(q·n)) on the real per-tile count distribution, and be
+    monotone p50 ≤ p90 ≤ p99."""
+    from gpx2tiles_spark.queries import _REGISTRY, q_tile_counts
+
+    counts = {}
+    for r in q_tile_counts(spark, SF_SMOKE).collect():
+        counts.setdefault(r.z, []).append(r.point_cnt)
+    got = {r.z: r for r in
+           _REGISTRY["tile_occupancy_quantiles"][0](spark, SF_SMOKE).collect()}
+    assert set(got) == set(counts)
+    for z, vals in counts.items():
+        v = np.sort(np.array(vals))
+        r = got[z]
+        assert r.n_tiles == len(v)
+        for q, field in ((0.5, r.p50), (0.9, r.p90), (0.99, r.p99)):
+            import math as _m
+            assert field == v[max(int(_m.ceil(q * len(v))), 1) - 1]
+        assert r.p50 <= r.p90 <= r.p99
