@@ -69,6 +69,49 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     return df
 
 
+def asof_join(events: DataFrame, alerts: DataFrame,
+              key: str = "user_id", seq: str = "event_id",
+              alert_seq: str = "aeid") -> DataFrame:
+    """AS-OF JOIN (the brief's named custom operator): each event is
+    matched to the LATEST alert at-or-before it in sequence order, per
+    key — last-observation-carried-forward, the temporal join Spark
+    has no builtin for.
+
+    Implemented WITHOUT any join: alerts and events union into one
+    tagged stream, and ONE window pass per key carries the last
+    non-null alert id forward (`last(..., ignorenulls=True)` over
+    (seq, alert-first) order, alert rows sorting before the event at
+    the same sequence value so an event matches an alert AT its own
+    position — the >= convention).  That is a single shuffle keyed on
+    `key`, O(1) state per row — the shape that survives 10^12 events
+    (a time-bucketed variant with per-bucket seed carry removes even
+    the per-key window length bound; a hub key is the skew channel —
+    pre-split it by range if one emerges).  Events before any alert
+    are dropped (inner as-of).
+
+    The oracle runs DuckDB's NATIVE ``ASOF JOIN`` — a different
+    algorithm entirely (sort-merge with binary search), so the hash
+    match checks the semantics, not a mirrored plan."""
+    tagged = (events.select(
+                  F.col(key).alias("k"), F.col(seq).alias("s"),
+                  F.lit(0).alias("is_alert"),
+                  F.lit(None).cast("long").alias("a_seq"))
+              .unionByName(alerts.select(
+                  F.col(key).alias("k"),
+                  F.col(alert_seq).cast("long").alias("s"),
+                  F.lit(1).alias("is_alert"),
+                  F.col(alert_seq).cast("long").alias("a_seq"))))
+    w = (Window.partitionBy("k")
+         .orderBy(F.col("s"), F.col("is_alert").desc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (tagged
+            .withColumn("m", F.last("a_seq", ignorenulls=True).over(w))
+            .filter((F.col("is_alert") == 0) & F.col("m").isNotNull())
+            .select(F.col("s").alias(seq), F.col("k").alias(key),
+                    F.col("m").alias(alert_seq),
+                    (F.col("s") - F.col("m")).alias("gap")))
+
+
 def clip_segments_to_tiles(segs: DataFrame, tile_px: int = 256,
                            max_span: int = 4) -> DataFrame:
     """Segment-splitting clip at tile boundaries (Liang–Barsky — the

@@ -641,6 +641,25 @@ def q_track_hausdorff(spark, sf_dir):
                                max_pairs_per_track=4)
 
 
+@register("asof_join_alerts", """
+  WITH a AS (
+    SELECT user_id, event_id AS aeid FROM events WHERE event_id % 20 = 0)
+  SELECT e.event_id, e.user_id, a.aeid, e.event_id - a.aeid AS gap
+  FROM events e ASOF JOIN a
+    ON e.user_id = a.user_id AND e.event_id >= a.aeid
+""")
+def q_asof_join_alerts(spark, sf_dir):
+    """As-of join: every event matched to the latest alert (every 20th
+    event, derived deterministically) at-or-before it per user.  Spark
+    side is the join-free single-window LOCF (operators/geo.asof_join);
+    the oracle is DuckDB's native ASOF JOIN — different algorithm,
+    same rows, so the hash match checks the temporal-join semantics."""
+    ev = _t(spark, sf_dir, "events")
+    alerts = (ev.filter(F.col("event_id") % 20 == 0)
+              .select("user_id", F.col("event_id").alias("aeid")))
+    return geo.asof_join(ev, alerts)
+
+
 @register("sessionize", """
   WITH s AS (
     SELECT user_id, event_id,

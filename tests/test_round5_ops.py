@@ -846,3 +846,25 @@ def test_tile_occupancy_quantiles_match_numpy_disc(spark):
             import math as _m
             assert field == v[max(int(_m.ceil(q * len(v))), 1) - 1]
         assert r.p50 <= r.p90 <= r.p99
+
+
+def test_asof_join_semantics(spark):
+    """Hand-built edges: event AT an alert position matches itself
+    (gap 0, the >= convention); events before any alert are dropped
+    (inner as-of); carry-forward picks the LATEST prior alert per key,
+    never a later or other-key one."""
+    from gpx2tiles_spark.operators import geo
+
+    ev = spark.createDataFrame(
+        [(1, 3), (1, 5), (1, 25), (1, 41), (2, 7), (2, 100), (3, 9)],
+        "user_id long, event_id long")
+    al = spark.createDataFrame(
+        [(1, 5), (1, 40), (2, 100)], "user_id long, aeid long")
+    got = sorted((r.user_id, r.event_id, r.aeid, r.gap)
+                 for r in geo.asof_join(ev, al).collect())
+    assert got == [
+        (1, 5, 5, 0),      # at-position match, gap 0
+        (1, 25, 5, 20),    # carries the earlier alert forward
+        (1, 41, 40, 1),    # latest prior wins
+        (2, 100, 100, 0),  # other key isolated
+    ]                       # (1,3), (2,7), all of user 3: dropped
