@@ -113,7 +113,7 @@ def run_bench(sf_dir: str, cpus: int, n_render_docs: int | None = None):
     # the headline sum so `value` stays comparable across rounds
     extra_timings: dict[str, float] = {}
     for name in ("dbscan_clusters", "track_hausdorff", "hll_zoom_census",
-                 "tile_occupancy_quantiles"):
+                 "tile_occupancy_quantiles", "asof_join_alerts"):
         def run(q=qs[name]):
             q(spark, sf_dir).write.format("noop").mode("overwrite").save()
         sec, info = _timed_clean(run)

@@ -88,6 +88,17 @@ SECTIONS: list[tuple[str, str, str]] = [
      "BROADCASTS onto both point re-attach joins; max-of-min is two "
      "partially-aggregated passes — the shuffle carries one row per "
      "(pair, anchor point), never the |A|·|B| distance rows."),
+    ("asof_join_alerts", "asof_join_alerts",
+     "As-of join (round-5): JOIN-FREE — tagged union + ONE window "
+     "pass carrying the last alert forward; a single Exchange on the "
+     "key, zero join operators of any kind (the oracle side uses "
+     "DuckDB's native ASOF JOIN — different algorithm, same rows)."),
+    ("hll_zoom_census", "hll_zoom_census",
+     "Deterministic HLL census (round-5): registers are a map-side-"
+     "combinable groupBy-MAX (≤ 256 rows per zoom cross the wire), "
+     "estimate is a second tiny agg — no COUNT(DISTINCT) expansion "
+     "anywhere on the sketch path (the exact count rides along in a "
+     "separate branch as the accuracy witness)."),
     ("embedding_near_dup", "embedding_near_dup",
      "Embedding near-dup (round-5 shape): exact duplicates collapse "
      "FIRST (one window over the embedding array itself), the whole "
