@@ -112,6 +112,40 @@ def asof_join(events: DataFrame, alerts: DataFrame,
                     (F.col("s") - F.col("m")).alias("gap")))
 
 
+def range_join_buckets(facts: DataFrame, intervals: DataFrame,
+                       value_col: str = "value",
+                       lo_col: str = "lo", hi_col: str = "hi",
+                       bucket_width: float = 20.0) -> DataFrame:
+    """RANGE JOIN (the brief's second named custom operator): match
+    each fact row to every interval containing its value — as a
+    BUCKETED EQUI-JOIN, never a theta join.
+
+    Each interval explodes to the integer buckets it covers
+    (floor(lo/w) … floor(hi/w) — with w ≥ the widest interval that is
+    ≤ 2 rows per interval); facts compute their single bucket; the
+    join is a plain equi-join on the bucket with the range predicate
+    as a residual filter.  A fact has exactly ONE bucket, so a
+    (fact, interval) pair can match at most once — no dedup needed.
+
+    At 10^12 facts this is the shape that matters: the fact table
+    shuffles once on an integer key (or not at all if the exploded
+    interval side broadcasts, as it does for any realistic band
+    count), while the naive `ON v >= lo AND v < hi` theta join would
+    plan as a nested loop.  The oracle runs exactly that theta join in
+    DuckDB (its optimizer builds an IE-join) — different algorithm,
+    same rows."""
+    w = float(bucket_width)
+    iv = intervals.withColumn(
+        "bkt", F.explode(F.sequence(
+            F.floor(F.col(lo_col) / w).cast("long"),
+            F.floor(F.col(hi_col) / w).cast("long"))))
+    f = facts.withColumn("bkt", F.floor(F.col(value_col) / w).cast("long"))
+    return (f.join(F.broadcast(iv), "bkt")
+            .filter((F.col(value_col) >= F.col(lo_col))
+                    & (F.col(value_col) < F.col(hi_col)))
+            .drop("bkt"))
+
+
 def clip_segments_to_tiles(segs: DataFrame, tile_px: int = 256,
                            max_span: int = 4) -> DataFrame:
     """Segment-splitting clip at tile boundaries (Liang–Barsky — the

@@ -660,6 +660,37 @@ def q_asof_join_alerts(spark, sf_dir):
     return geo.asof_join(ev, alerts)
 
 
+@register("range_join_bands", """
+  WITH bands AS (
+    SELECT CAST(unnest(generate_series(0, 63)) AS INT) AS band_id),
+  b AS (
+    SELECT band_id, CAST(band_id AS DOUBLE) * 7.5 AS lo,
+           CAST(band_id AS DOUBLE) * 7.5 + 20.0 AS hi
+    FROM bands)
+  SELECT b.band_id, COUNT(*) AS n_events,
+         MIN(e.event_id) AS min_eid, MAX(e.event_id) AS max_eid
+  FROM events e JOIN b ON e.value >= b.lo AND e.value < b.hi
+  GROUP BY b.band_id
+""")
+def q_range_join_bands(spark, sf_dir):
+    """Range join: events matched to 64 OVERLAPPING value bands
+    (stride 7.5, width 20 — each value hits ~2.7 bands).  Spark side
+    is the bucketed equi-join (operators/geo.range_join_buckets); the
+    oracle is the naive theta join, which DuckDB plans as an IE-join —
+    different algorithm, same rows.  Output per band uses COUNT / MIN
+    / MAX only (selection, never float accumulation)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.col("band_id").cast("double")
+    bands = (spark.range(64).select(F.col("id").cast("int").alias("band_id"))
+             .select("band_id", (k * 7.5).alias("lo"),
+                     (k * 7.5 + 20.0).alias("hi")))
+    j = geo.range_join_buckets(ev, bands, "value", "lo", "hi", 20.0)
+    return j.groupBy("band_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("min_eid"),
+        F.max("event_id").alias("max_eid"))
+
+
 @register("sessionize", """
   WITH s AS (
     SELECT user_id, event_id,

@@ -868,3 +868,30 @@ def test_asof_join_semantics(spark):
         (1, 41, 40, 1),    # latest prior wins
         (2, 100, 100, 0),  # other key isolated
     ]                       # (1,3), (2,7), all of user 3: dropped
+
+
+def test_range_join_buckets_equals_naive_theta(spark):
+    """The bucketed equi-join must be LOSSLESS vs the naive theta join,
+    including values exactly at interval boundaries (>= lo inclusive,
+    < hi exclusive) and intervals narrower/wider than the bucket."""
+    from pyspark.sql import functions as F
+
+    from gpx2tiles_spark.operators import geo
+
+    vals = [0.0, 7.5, 19.999, 20.0, 20.001, 39.9, 40.0, 55.25, 60.0, 99.0]
+    facts = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "event_id long, value double")
+    iv = spark.createDataFrame(
+        [(0, 0.0, 20.0), (1, 7.5, 27.5), (2, 20.0, 40.0), (3, 19.0, 21.0),
+         (4, 0.0, 100.0), (5, 60.0, 60.0)],   # incl. empty interval
+        "band_id int, lo double, hi double")
+    got = sorted((r.event_id, r.band_id) for r in
+                 geo.range_join_buckets(facts, iv, "value", "lo", "hi",
+                                        bucket_width=20.0)
+                 .select("event_id", "band_id").collect())
+    want = sorted((r.event_id, r.band_id) for r in
+                  facts.crossJoin(iv)
+                  .filter((F.col("value") >= F.col("lo"))
+                          & (F.col("value") < F.col("hi")))
+                  .select("event_id", "band_id").collect())
+    assert got == want and len(want) > 10
