@@ -267,12 +267,29 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
                 .select(F.col("n").alias("u"), F.col("m").alias("v"))
                 .distinct())
 
+    def digest(e: DataFrame):
+        # commutative set digest (count, xor-of-row-hashes — E is
+        # always distinct, and xor can't hit the ANSI int64-overflow
+        # a sum would): one map-side-combined agg job vs the two full
+        # exceptAll shuffles a per-round set-equality check would cost
+        # (the check dominated small-corpus rounds: the 2→8 core
+        # scaling probe measured the loop fixed-cost-bound)
+        row = e.agg(F.count("*").alias("n"),
+                    F.bit_xor(F.xxhash64("u", "v")).alias("h")).collect()[0]
+        return row["n"], row["h"]
+
+    d = digest(E)
     for _ in range(max_iter):
         nxt = small_star(large_star(E)).localCheckpoint(eager=True)
-        if nxt.exceptAll(E).isEmpty() and E.exceptAll(nxt).isEmpty():
-            E = nxt
-            break
-        E = nxt
+        nd = digest(nxt)
+        if nd == d:
+            # digests agree → confirm EXACT set equality once (digest
+            # collisions are ~2^-64 but correctness here is not a
+            # probabilistic contract)
+            if nxt.exceptAll(E).isEmpty() and E.exceptAll(nxt).isEmpty():
+                E = nxt
+                break
+        E, d = nxt, nd
     else:
         raise RuntimeError(f"connected_components: no convergence "
                            f"in {max_iter} rounds")

@@ -895,3 +895,58 @@ def test_range_join_buckets_equals_naive_theta(spark):
                           & (F.col("value") < F.col("hi")))
                   .select("event_id", "band_id").collect())
     assert got == want and len(want) > 10
+
+
+def test_streaming_hll_resumes_from_checkpoint(spark, tmp_path):
+    """The north rule's resumability trait applied to the sketch: stop
+    the streaming query after file 1, START A NEW QUERY on the same
+    checkpoint with file 2 present — the restored register state must
+    absorb the second batch and converge to the batch sketch exactly."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from gpx2tiles_spark.operators import sketch
+    from gpx2tiles_spark.streaming.live import hll_registers_stream
+
+    src = tmp_path / "in"
+    src.mkdir()
+    ck_dir = str(tmp_path / "ckpt")
+    rows1 = [(0, f"k{i}") for i in range(3000)]
+    rows2 = [(0, f"k{i}") for i in range(2000, 6000)]   # overlap + new
+    spark.createDataFrame(rows1, "g int, ck string").coalesce(1) \
+        .write.mode("overwrite").parquet(str(tmp_path / "s1"))
+    import glob
+    import shutil
+    shutil.move(glob.glob(str(tmp_path / "s1" / "part-*.parquet"))[0],
+                str(src / "0001.parquet"))
+
+    def start():
+        stream = (spark.readStream
+                  .schema("g int, ck string")
+                  .option("maxFilesPerTrigger", 1).parquet(str(src)))
+        return (hll_registers_stream(stream, ["g"])
+                .writeStream.format("memory").queryName("shll_resume")
+                .option("checkpointLocation", ck_dir)
+                .outputMode("complete")
+                .trigger(availableNow=True).start())
+
+    q1 = start()
+    q1.awaitTermination(120)
+    n_after_1 = spark.table("shll_resume").count()
+    assert 0 < n_after_1 <= 256
+
+    _time.sleep(1.1)
+    spark.createDataFrame(rows2, "g int, ck string").coalesce(1) \
+        .write.mode("overwrite").parquet(str(tmp_path / "s2"))
+    shutil.move(glob.glob(str(tmp_path / "s2" / "part-*.parquet"))[0],
+                str(src / "0002.parquet"))
+    q2 = start()                      # NEW query, SAME checkpoint
+    q2.awaitTermination(120)
+
+    got = {r.g: r.hll_micro for r in
+           sketch.hll_estimate(spark.table("shll_resume"), ["g"]).collect()}
+    batch = spark.createDataFrame(rows1 + rows2, "g int, ck string")
+    want = {r.g: r.hll_micro for r in sketch.hll_estimate(
+        sketch.hll_registers(batch, F.col("ck"), ["g"]), ["g"]).collect()}
+    assert got == want               # bit-exact, not approximate
