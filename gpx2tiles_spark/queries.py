@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from . import projection as P
 from .config import SPDCLR, TILE_H, TILE_W
 from .colors import speed_clridx_col, speed_clridx_sql
-from .operators import ann, dedup, geo, knn, textstats
+from .operators import ann, dedup, geo, knn, pipeline, textstats
 from .operators.parse import parse_documents
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -2726,3 +2726,148 @@ def q_incremental_store(spark, sf_dir):
     cur = cur.persist()
     cur.count()
     return cur
+
+
+# ---------------------------------------------------------------------------
+# Training-pipeline family, round-5 extension: per-track summary stats,
+# stratified split, weighted sampling, BM25 retrieval, count-min sketch
+# ---------------------------------------------------------------------------
+
+
+@register("track_stats", f"""
+  WITH pts AS ({PTS_SQL}),
+  lagged AS (
+    SELECT user_id, kph, lat, lon, epoch(ts) AS es,
+           LAG(lat) OVER w AS plat, LAG(lon) OVER w AS plon,
+           LAG(epoch(ts)) OVER w AS pes
+    FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, pid)),
+  legs AS (
+    SELECT user_id,
+           CAST(FLOOR(ACOS(LEAST(1.0, GREATEST(-1.0,
+               SIN(RADIANS(plat)) * SIN(RADIANS(lat))
+             + COS(RADIANS(plat)) * COS(RADIANS(lat)) * COS(RADIANS(lon - plon))
+           ))) * 6371000.0 * 1000.0) AS BIGINT) AS dist_milli,
+           CAST(FLOOR(es - pes) AS BIGINT) AS dt_sec,
+           CAST(FLOOR(kph * 1000000.0) AS BIGINT) AS kph_micro
+    FROM lagged WHERE plat IS NOT NULL)
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_legs,
+         CAST(SUM(dist_milli) AS BIGINT) AS dist_milli,
+         CAST(SUM(dt_sec) AS BIGINT) AS dur_sec,
+         CAST(SUM(CASE WHEN dist_milli > 0 THEN dt_sec ELSE 0 END) AS BIGINT)
+           AS moving_sec,
+         CAST(FLOOR(CAST(SUM(kph_micro) AS DOUBLE) / COUNT(*)) AS BIGINT)
+           AS avg_kph_micro
+  FROM legs GROUP BY user_id
+""")
+def q_track_stats(spark, sf_dir):
+    """Per-track GPX summary (distance / duration / moving time / avg
+    speed) — the analytics table a track site derives per upload.  One
+    window (pair legs) + one groupBy on the SAME key, so the groupBy
+    reuses the window's hash partitioning (single shuffle end-to-end);
+    all sums are exact integers (per-leg micro/milli floors, the
+    proven-identical track_pairs distance tree)."""
+    pts = _points(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "pid")
+    es = F.col("ts").cast("timestamp").cast("double")
+    lagged = pts.select(
+        "user_id", "kph", "lat", "lon", es.alias("es"),
+        F.lag("lat").over(w).alias("plat"), F.lag("lon").over(w).alias("plon"),
+        F.lag(es).over(w).alias("pes"),
+    ).filter(F.col("plat").isNotNull())
+    dist = P.earth_distance_col(F.col("plat"), F.col("plon"),
+                                F.col("lat"), F.col("lon"))
+    legs = lagged.select(
+        "user_id",
+        F.floor(dist * 1000.0).cast("long").alias("dist_milli"),
+        F.floor(F.col("es") - F.col("pes")).cast("long").alias("dt_sec"),
+        F.floor(F.col("kph") * F.lit(1000000.0)).cast("long")
+        .alias("kph_micro"))
+    return legs.groupBy("user_id").agg(
+        F.count("*").alias("n_legs"),
+        F.sum("dist_milli").alias("dist_milli"),
+        F.sum("dt_sec").alias("dur_sec"),
+        F.sum(F.when(F.col("dist_milli") > 0, F.col("dt_sec"))
+              .otherwise(F.lit(0))).alias("moving_sec"),
+        F.floor(F.sum("kph_micro").cast("double") / F.count("*"))
+        .cast("long").alias("avg_kph_micro"))
+
+
+@register("stratified_split", f"""
+  WITH a AS (
+    SELECT lang, source, n_chars, doc_id,
+           substr(md5(concat('split|', CAST(doc_id AS VARCHAR))), 1, 2)
+             AS bucket
+    FROM documents),
+  b AS (
+    SELECT lang, source, doc_id, n_chars,
+           CASE WHEN bucket < '{pipeline.SPLIT_TRAIN_HI}' THEN 'train'
+                WHEN bucket < '{pipeline.SPLIT_VAL_HI}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM a)
+  SELECT lang, source, split,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+  FROM b GROUP BY lang, source, split
+""")
+def q_stratified_split(spark, sf_dir):
+    """Deterministic hash-bucketed train/val/test split, audited per
+    (lang, source, split).  The assignment is a pure map (no shuffle,
+    no RNG state); the audit groupBy is low-cardinality."""
+    return pipeline.stratified_split_counts(_t(spark, sf_dir, "documents"))
+
+
+_WS_HASH = "md5(concat('ws|', CAST(doc_id AS VARCHAR)))"
+
+
+@register("weighted_sample", f"""
+  WITH keyed AS (
+    SELECT lang, doc_id, n_chars,
+           LN({pipeline.hex_u01_sql(_WS_HASH)}) / CAST(n_chars AS DOUBLE)
+             AS skey
+    FROM documents WHERE n_chars > 0),
+  ranked AS (
+    SELECT lang, doc_id, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY skey DESC, doc_id)
+             AS rank
+    FROM keyed)
+  SELECT lang, doc_id, CAST(rank AS INT) AS rank, n_chars
+  FROM ranked WHERE rank <= 10
+""")
+def q_weighted_sample(spark, sf_dir):
+    """Efraimidis–Spirakis weighted sample (k=10 per lang, weight =
+    n_chars) with a deterministic md5-derived uniform, so the sampled
+    id set itself is oracle-checked.  The per-input-partition top-k
+    prefilter keeps the stratum window bounded (pipeline.py)."""
+    return pipeline.weighted_sample(_t(spark, sf_dir, "documents"), k=10)
+
+
+_BM25_TERMS = ("spark", "query", "vector")
+
+
+@register("bm25_topk", pipeline.bm25_sql(_BM25_TERMS))
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-20 for a fixed query over documents.text — the
+    inverted-index retrieval shape (explode filtered to the term set,
+    posting counts via groupBy-pivot, corpus scalars broadcast back,
+    distributed TakeOrdered top-k)."""
+    return pipeline.bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS)
+
+
+@register("cms_user_counts",
+          pipeline.cms_sql("CAST(user_id AS VARCHAR)", "events"))
+def q_cms_user_counts(spark, sf_dir):
+    """Count-min sketch (d=4 × w=256, md5 row-salted) over event
+    user_ids, point-queried for every distinct user next to the exact
+    count — est >= exact always (pytest), and the sketch table itself
+    is the resumable/mergeable state (groupBy-SUM registers, ≤ 1024
+    rows no matter the input size)."""
+    ev = _t(spark, sf_dir, "events")
+    key = F.col("user_id").cast("string")
+    sketch = pipeline.cms_registers(ev, key)
+    keys = ev.select(key.alias("key")).distinct()
+    est = pipeline.cms_estimates(keys, sketch, "key")
+    exact = ev.groupBy(key.alias("key")).agg(
+        F.count("*").alias("exact_cnt"))
+    return est.join(exact, "key")
