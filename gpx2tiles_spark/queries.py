@@ -2871,3 +2871,41 @@ def q_cms_user_counts(spark, sf_dir):
     exact = ev.groupBy(key.alias("key")).agg(
         F.count("*").alias("exact_cnt"))
     return est.join(exact, "key")
+
+
+@register("streaming_cms",
+          pipeline.cms_sql("CAST(user_id AS VARCHAR)", "events"))
+def q_streaming_cms(spark, sf_dir):
+    """Streaming twin of `cms_user_counts`: events replay as a 2-file
+    stream; the count-min registers are maintained as a COMPLETE-mode
+    streaming groupBy-SUM (state permanently ≤ d·256 rows — the sketch
+    is its own bound, the shape a 100 TB streaming frequency monitor
+    needs).  Count-sum commutes with union, so the converged stream
+    sketch equals the batch sketch exactly and this row reuses the
+    batch oracle SQL verbatim (exact counts ride along from the batch
+    table as the accuracy witness)."""
+    import shutil
+
+    from .streaming.live import cms_registers_stream
+
+    ev = _t(spark, sf_dir, "events")
+    tmp = _stage_event_stream(spark, ev, 2)
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(os.path.join(tmp, "in")))
+    key = F.col("user_id").cast("string")
+    name = f"scms_{abs(hash(sf_dir)) % 99999}"
+    q = (cms_registers_stream(stream, key)
+         .writeStream.format("memory").queryName(name)
+         .outputMode("complete")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    sketch = spark.table(name)
+    keys = ev.select(key.alias("key")).distinct()
+    est = pipeline.cms_estimates(keys, sketch, "key")
+    exact = ev.groupBy(key.alias("key")).agg(
+        F.count("*").alias("exact_cnt"))
+    out = est.join(exact, "key").persist()
+    out.count()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out

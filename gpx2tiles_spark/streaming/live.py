@@ -178,3 +178,19 @@ def hll_registers_stream(stream_keyed: DataFrame,
     from ..operators.sketch import hll_registers
 
     return hll_registers(stream_keyed, F.col("ck"), group_cols)
+
+
+def cms_registers_stream(stream_df: DataFrame, key) -> DataFrame:
+    """Streaming count-min sketch maintenance — operators/pipeline.py's
+    CMS lifted onto an unbounded stream.
+
+    Register counts are a groupBy-SUM: associative, commutative, and a
+    legal streaming aggregation with PERMANENTLY BOUNDED state (≤ d·256
+    rows, forever — the sketch is its own state bound, no watermark).
+    Complete-mode output re-emits the register table each trigger; any
+    snapshot can be point-queried by the batch ``cms_estimates``, and
+    because count-sum commutes with union, the converged stream sketch
+    equals the batch sketch exactly (the oracle row checks this)."""
+    from ..operators.pipeline import cms_registers
+
+    return cms_registers(stream_df, key)

@@ -140,3 +140,16 @@ def test_track_stats_matches_pandas(spark):
         assert row.n_legs == n_legs and row.dist_milli == dist
         assert row.dur_sec == dur and row.moving_sec == moving
         assert row.avg_kph_micro == math.floor(kmicro / n_legs)
+
+
+def test_streaming_cms_equals_batch_sketch(spark):
+    """The converged 2-trigger stream sketch equals the batch sketch
+    row-for-row, and the streamed estimates dominate exact counts."""
+    from gpx2tiles_spark.queries import queries
+    got = queries()["streaming_cms"](spark, SF_SMOKE).toPandas()
+    batch = queries()["cms_user_counts"](spark, SF_SMOKE).toPandas()
+    assert (got.est_cnt >= got.exact_cnt).all()
+    key = ["key"]
+    g = got.sort_values(key).reset_index(drop=True)
+    b = batch.sort_values(key).reset_index(drop=True)
+    assert (g.est_cnt == b.est_cnt).all() and (g.exact_cnt == b.exact_cnt).all()
