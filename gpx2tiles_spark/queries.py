@@ -2909,3 +2909,70 @@ def q_streaming_cms(spark, sf_dir):
     out.count()
     shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Douglas–Peucker track simplification (operators/simplify.py) — the
+# oracle is a from-scratch recursive-CTE DP in DuckDB (argmax per split
+# via ROW_NUMBER in the recursive term), so the whole recursion is
+# hash-checked, not just the output size.
+# ---------------------------------------------------------------------------
+
+DP_EPS = 20.0  # planar degrees; ~12% of points survive on this corpus
+
+
+def _dp_sql(eps: float) -> str:
+    eps2 = f"CAST('{eps * eps!r}' AS DOUBLE)"
+    dx, dy = "(b.x - a.x)", "(b.y - a.y)"
+    len2 = f"({dx} * {dx} + {dy} * {dy})"
+
+    def mag(p: str) -> str:
+        cr = f"({dx} * ({p}.y - a.y) - {dy} * ({p}.x - a.x))"
+        pd2 = (f"(({p}.x - a.x) * ({p}.x - a.x)"
+               f" + ({p}.y - a.y) * ({p}.y - a.y))")
+        return f"(CASE WHEN {len2} = 0.0 THEN {pd2} ELSE {cr} * {cr} END)"
+
+    th = (f"(CASE WHEN {len2} = 0.0 THEN {eps2}"
+          f" ELSE {eps2} * {len2} END)")
+    return f"""
+  WITH RECURSIVE pts AS (
+    SELECT user_id AS u, pid, lon AS x, lat AS y,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, pid) AS i
+    FROM ({PTS_SQL})),
+  seg(u, i0, i1) AS (
+    SELECT u, MIN(i), MAX(i) FROM pts GROUP BY u HAVING COUNT(*) >= 2
+    UNION ALL
+    SELECT spl.u,
+           CASE WHEN sides.s = 0 THEN spl.i0 ELSE spl.im END,
+           CASE WHEN sides.s = 0 THEN spl.im ELSE spl.i1 END
+    FROM (
+      SELECT u, i0, i1, im FROM (
+        SELECT s.u AS u, s.i0 AS i0, s.i1 AS i1, p.i AS im,
+               {mag('p')} AS m, {th} AS th,
+               ROW_NUMBER() OVER (PARTITION BY s.u, s.i0, s.i1
+                                  ORDER BY {mag('p')} DESC, p.i) AS rn
+        FROM seg s
+        JOIN pts a ON a.u = s.u AND a.i = s.i0
+        JOIN pts b ON b.u = s.u AND b.i = s.i1
+        JOIN pts p ON p.u = s.u AND p.i > s.i0 AND p.i < s.i1
+      ) w WHERE rn = 1 AND m > th
+    ) spl, (VALUES (0), (1)) sides(s)),
+  kept AS (
+    SELECT u, i0 AS i FROM seg UNION SELECT u, i1 AS i FROM seg
+    UNION SELECT u, MIN(i) AS i FROM pts GROUP BY u HAVING COUNT(*) = 1)
+  SELECT p.u AS user_id, p.pid
+  FROM pts p JOIN kept k ON k.u = p.u AND k.i = p.i
+"""
+
+
+@register("track_simplify_dp", _dp_sql(DP_EPS))
+def q_track_simplify_dp(spark, sf_dir):
+    """Douglas–Peucker simplification of every user track at eps=20°
+    planar — the pre-render reduction a tile engine applies at low
+    zooms.  Sequential within a track, parallel across tracks
+    (applyInPandas, one shuffle); the DuckDB oracle re-runs the SAME
+    recursion as a recursive CTE with identical float op trees and
+    first-index argmax ties, so every split decision is hash-checked."""
+    from .operators.simplify import simplify_tracks
+
+    return simplify_tracks(_points(spark, sf_dir), DP_EPS)
