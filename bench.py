@@ -113,7 +113,9 @@ def run_bench(sf_dir: str, cpus: int, n_render_docs: int | None = None):
     # the headline sum so `value` stays comparable across rounds
     extra_timings: dict[str, float] = {}
     for name in ("dbscan_clusters", "track_hausdorff", "hll_zoom_census",
-                 "tile_occupancy_quantiles", "asof_join_alerts"):
+                 "tile_occupancy_quantiles", "asof_join_alerts",
+                 "track_stats", "stratified_split", "weighted_sample",
+                 "bm25_topk", "cms_user_counts", "track_simplify_dp"):
         def run(q=qs[name]):
             q(spark, sf_dir).write.format("noop").mode("overwrite").save()
         sec, info = _timed_clean(run)

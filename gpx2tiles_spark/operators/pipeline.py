@@ -265,12 +265,14 @@ def cms_registers(df: DataFrame, key: Column, d: int = CMS_D) -> DataFrame:
     the input size.  Counts are a groupBy-SUM → associative, map-side
     combinable; two sketches (corpora, micro-batches) merge with the
     same groupBy-SUM (pytest-proven, mirrors the HLL register table)."""
-    rows = None
-    for r in range(d):
-        part = df.select(F.lit(r).alias("row"),
-                         _cms_bucket(key, r).alias("bucket"))
-        rows = part if rows is None else rows.unionByName(part)
-    return rows.groupBy("row", "bucket").agg(F.count("*").alias("cnt"))
+    pairs = F.array(*[
+        F.struct(F.lit(r).alias("row"), _cms_bucket(key, r).alias("bucket"))
+        for r in range(d)])
+    # ONE scan + explode (not a d-branch union re-reading the input d
+    # times) feeding one partially-aggregated groupBy
+    return (df.select(F.explode(pairs).alias("p"))
+            .select("p.row", "p.bucket")
+            .groupBy("row", "bucket").agg(F.count("*").alias("cnt")))
 
 
 def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
@@ -284,13 +286,13 @@ def cms_estimates(keys: DataFrame, sketch: DataFrame, key_col: str,
     """Point-query the sketch for every key row: est = MIN over the d
     rows of the key's bucket count.  The sketch side is ≤ d·256 rows →
     broadcast; the probe is a map-side hash join per key row."""
-    probes = None
-    for r in range(d):
-        p = keys.select(F.col(key_col),
-                        F.lit(r).alias("row"),
-                        _cms_bucket(F.col(key_col).cast("string"), r)
-                        .alias("bucket"))
-        probes = p if probes is None else probes.unionByName(p)
+    pairs = F.array(*[
+        F.struct(F.lit(r).alias("row"),
+                 _cms_bucket(F.col(key_col).cast("string"), r)
+                 .alias("bucket"))
+        for r in range(d)])
+    probes = (keys.select(F.col(key_col), F.explode(pairs).alias("p"))
+              .select(key_col, "p.row", "p.bucket"))
     return (probes.join(F.broadcast(sketch), ["row", "bucket"])
             .groupBy(key_col).agg(F.min("cnt").alias("est_cnt")))
 
