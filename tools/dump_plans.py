@@ -110,6 +110,32 @@ SECTIONS: list[tuple[str, str, str]] = [
      "Arrow pass.  At the sf1 10x-duplicate stress this cut the "
      "scored volume 100x (81M -> 0.8M pairs; 241 s -> 7.3 s, output "
      "byte-identical)."),
+    ("track_stats", "track_stats",
+     "Per-track summary (round-5): window pair-legs + groupBy on the "
+     "SAME key — the groupBy reuses the window's hash partitioning, "
+     "so the whole operator is ONE Exchange; all sums are exact "
+     "integers (per-leg floors), no float aggregation order anywhere."),
+    ("weighted_sample", "weighted_sample",
+     "Weighted sample (round-5): two bounded windows — a per-input-"
+     "partition top-k prefilter (≤ k rows per stratum per partition "
+     "survive) then the stratum-global rank; the second Exchange "
+     "carries k·n_partitions rows, never the corpus."),
+    ("bm25_topk", "bm25_topk",
+     "BM25 (round-5): explode filtered to the query-term set feeding "
+     "a groupBy-pivot posting table; corpus scalars arrive via ONE "
+     "1-row broadcast (the BroadcastNestedLoopJoin is the 1-row "
+     "stats side, not a data-data cross); final top-k compiles to "
+     "TakeOrderedAndProject — per-partition top-k + driver merge, "
+     "NOT a global sort."),
+    ("cms_user_counts", "cms_user_counts",
+     "Count-min sketch (round-5): ONE scan + explode builds the d·256 "
+     "register table (map-side-combined groupBy — the round-5 "
+     "single-pass fix over the d-branch union), probes broadcast the "
+     "≤1024-row sketch onto the distinct keys."),
+    ("track_simplify_dp", "track_simplify_dp",
+     "Douglas–Peucker (round-5): ONE Exchange on the track key + one "
+     "FlatMapGroupsInPandas — sequential recursion inside a track, "
+     "parallel across tracks, O(track length) memory per group."),
 ]
 
 COUNT_KEYS = ["exchanges", "reused_exchanges", "arrow_evals",
