@@ -410,3 +410,75 @@ def points_in_polygons(points: DataFrame, polys: DataFrame,
             .agg(F.count("*").alias("n_cross"))
             .filter(F.col("n_cross") % 2 == 1)
             .select(id_col, "poly_id"))
+
+
+def resample_tracks(points: DataFrame, step_sec: int = 900) -> DataFrame:
+    """Temporal resampling: every track re-sampled onto a fixed
+    `step_sec` grid (per-user, between its first and last fix) with
+    LINEAR interpolation of lat/lon between the bracketing points —
+    the trajectory normalization step before track-to-track comparison
+    (Hausdorff, clustering) or ML featurization.
+
+    JOIN-FREE, like the as-of join above: grid instants union with the
+    points into one tagged stream; ONE ascending window carries the
+    previous fix forward and ONE descending window carries the next fix
+    backward (last(ignorenulls) each — O(1) state per row, a single
+    shuffle key: the user).  A grid instant that hits a fix exactly
+    gets that fix (points order before grid rows at equal timestamps in
+    BOTH window directions, so prev == next and the interpolation
+    short-circuits).  At 10^12 rows this is two window passes over one
+    hash partitioning — no range join, no per-grid-point lookup.
+
+    Output is micro-floored integers; every float op (epoch seconds,
+    grid bounds, the interpolation blend) has one op tree mirrored by
+    the SQL oracle."""
+    es = F.col("ts").cast("timestamp").cast("double")
+    pts = points.select(
+        "user_id", F.col("pid"), es.alias("es"),
+        F.lit(1).alias("is_pt"), "lat", "lon")
+    step = float(step_sec)
+    bounds = pts.groupBy("user_id").agg(
+        F.min("es").alias("lo"), F.max("es").alias("hi"))
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence(
+            F.ceil(F.col("lo") / F.lit(step)).cast("long"),
+            F.floor(F.col("hi") / F.lit(step)).cast("long"))).alias("gi"))
+    grid = grid.select(
+        "user_id", (F.col("gi") * F.lit(step_sec)).alias("g"),
+        (F.col("gi") * F.lit(step_sec)).cast("double").alias("es"),
+        F.lit(0).alias("is_pt"),
+        F.lit(None).cast("long").alias("pid"),
+        F.lit(None).cast("double").alias("lat"),
+        F.lit(None).cast("double").alias("lon"))
+    tagged = pts.withColumn("g", F.lit(None).cast("long")).unionByName(grid)
+    wa = (Window.partitionBy("user_id")
+          .orderBy(F.col("es"), F.col("is_pt").desc(), F.col("pid").desc())
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wd = (Window.partitionBy("user_id")
+          .orderBy(F.col("es").desc(), F.col("is_pt").desc(), F.col("pid"))
+          .rowsBetween(Window.unboundedPreceding, 0))
+    pes = F.last(F.when(F.col("is_pt") == 1, F.col("es")),
+                 ignorenulls=True).over(wa)
+    plat = F.last("lat", ignorenulls=True).over(wa)
+    plon = F.last("lon", ignorenulls=True).over(wa)
+    nes = F.last(F.when(F.col("is_pt") == 1, F.col("es")),
+                 ignorenulls=True).over(wd)
+    nlat = F.last("lat", ignorenulls=True).over(wd)
+    nlon = F.last("lon", ignorenulls=True).over(wd)
+    r = (tagged
+         .withColumn("pes", pes).withColumn("plat", plat)
+         .withColumn("plon", plon)
+         .withColumn("nes", nes).withColumn("nlat", nlat)
+         .withColumn("nlon", nlon)
+         .filter((F.col("is_pt") == 0)
+                 & F.col("pes").isNotNull() & F.col("nes").isNotNull()))
+    frac = (F.col("es") - F.col("pes")) / (F.col("nes") - F.col("pes"))
+    ilat = F.when(F.col("nes") == F.col("pes"), F.col("plat")).otherwise(
+        F.col("plat") + (F.col("nlat") - F.col("plat")) * frac)
+    ilon = F.when(F.col("nes") == F.col("pes"), F.col("plon")).otherwise(
+        F.col("plon") + (F.col("nlon") - F.col("plon")) * frac)
+    return r.select(
+        "user_id", F.col("g").alias("g_sec"),
+        F.floor(ilat * F.lit(1000000.0)).cast("long").alias("lat_micro"),
+        F.floor(ilon * F.lit(1000000.0)).cast("long").alias("lon_micro"))

@@ -102,3 +102,82 @@ def fingerprints(docs: DataFrame, n: int = 4) -> DataFrame:
         F.array_min(sh).alias("fingerprint"),
         F.size(sh).alias("n_shingles"),
     )
+
+
+def tfidf_topterms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k terms per document by tf·idf (idf = ln(N/df)) — keyword
+    extraction, the corpus-wide complement of the fixed-query BM25.
+
+    Inverted-index shape: one explode → (doc, word) tf groupBy → word
+    df groupBy (both map-side combined, shuffled on the word key — at
+    10^12 docs the vocabulary is the natural partition key and no side
+    is broadcast except the 1-row corpus count); score is per-row
+    float math (no float aggregation), ranking by the raw double with
+    word-asc ties so both engines agree bit-for-bit."""
+    from pyspark.sql import Window
+
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    dfx = tf.groupBy("w").agg(F.count("*").alias("df"))
+    stats = docs.agg(F.count("*").alias("n_docs"))
+    j = tf.join(dfx, "w").crossJoin(F.broadcast(stats))
+    score = (F.col("tf").cast("double")
+             * F.log(F.col("n_docs").cast("double")
+                     / F.col("df").cast("double")))
+    w_ = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "w")
+    return (j.withColumn("score", score)
+            .withColumn("rank", F.row_number().over(w_))
+            .filter(F.col("rank") <= k)
+            .select("doc_id", F.col("w").alias("term"), "tf", "df",
+                    F.col("rank").cast("int").alias("rank"),
+                    F.floor(F.col("score") * F.lit(1000000.0))
+                    .cast("long").alias("tfidf_micro")))
+
+
+def pmi_bigrams(docs: DataFrame, min_count: int = 5,
+                topk: int = 50) -> DataFrame:
+    """Top-k adjacent-bigram collocations by pointwise mutual
+    information, PMI = ln((c_ab/B) / ((c_a/T)·(c_b/T))) — the classic
+    phrase-mining signal over a corpus.
+
+    Bigrams come from a pure array transform (element_at pairs — a
+    narrow map, no window, no shuffle before the count groupBys); all
+    counts are exact integers, the PMI float is per-row with one op
+    tree, and the final top-k is orderBy+limit (TakeOrdered)."""
+    from pyspark.sql import Window
+
+    ws = F.split(F.col("text"), " ")
+    idx = F.when(F.size(ws) > 1, F.sequence(F.lit(1), F.size(ws) - 1)
+                 ).otherwise(F.array().cast("array<int>"))
+    pairs = F.transform(idx, lambda i: F.struct(
+        F.element_at(ws, i).alias("a"),
+        F.element_at(ws, i + 1).alias("b")))
+    big = (docs.select(F.explode(pairs).alias("p"))
+           .select("p.a", "p.b"))
+    cab = big.groupBy("a", "b").agg(F.count("*").alias("cab"))
+    words = docs.select(F.explode(F.split("text", " ")).alias("w"))
+    uni = words.groupBy("w").agg(F.count("*").alias("c"))
+    totals = (big.agg(F.count("*").alias("bt"))
+              .crossJoin(words.agg(F.count("*").alias("tt"))))
+    j = (cab.filter(F.col("cab") >= min_count)
+         .join(uni.withColumnRenamed("w", "a")
+                  .withColumnRenamed("c", "ca"), "a")
+         .join(uni.withColumnRenamed("w", "b")
+                  .withColumnRenamed("c", "cb"), "b")
+         .crossJoin(F.broadcast(totals)))
+    bt = F.col("bt").cast("double")
+    tt = F.col("tt").cast("double")
+    pmi = F.log((F.col("cab").cast("double") / bt)
+                / ((F.col("ca").cast("double") / tt)
+                   * (F.col("cb").cast("double") / tt)))
+    top = (j.withColumn("pmi", pmi)
+           .select("a", "b", "cab", "ca", "cb", "pmi")
+           .orderBy(F.col("pmi").desc(), "a", "b").limit(topk))
+    ranked = top.withColumn("rank", F.row_number().over(
+        Window.orderBy(F.col("pmi").desc(), "a", "b")))
+    return ranked.select(
+        "a", "b", "cab", "ca", "cb",
+        F.col("rank").cast("int").alias("rank"),
+        F.floor(F.col("pmi") * F.lit(1000000.0)).cast("long")
+        .alias("pmi_micro"))

@@ -2976,3 +2976,130 @@ def q_track_simplify_dp(spark, sf_dir):
     from .operators.simplify import simplify_tracks
 
     return simplify_tracks(_points(spark, sf_dir), DP_EPS)
+
+
+@register("tfidf_topterms", """
+  WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+  tf AS (
+    SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM words GROUP BY 1, 2),
+  dfx AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+  stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+  scored AS (
+    SELECT tf.doc_id, tf.w, tf.tf, dfx.df,
+           CAST(tf.tf AS DOUBLE)
+             * LN(CAST(n_docs AS DOUBLE) / CAST(dfx.df AS DOUBLE)) AS score
+    FROM tf JOIN dfx USING (w) CROSS JOIN stats),
+  r AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, w) AS rank
+    FROM scored)
+  SELECT doc_id, w AS term, tf, df, CAST(rank AS INT) AS rank,
+         CAST(FLOOR(score * 1000000.0) AS BIGINT) AS tfidf_micro
+  FROM r WHERE rank <= 3
+""")
+def q_tfidf_topterms(spark, sf_dir):
+    """Top-3 keywords per document by tf·idf — the corpus-wide
+    inverted-index aggregate (word-keyed shuffles, 1-row corpus-count
+    broadcast, per-row float scoring)."""
+    return textstats.tfidf_topterms(_t(spark, sf_dir, "documents"), k=3)
+
+
+@register("pmi_bigrams", """
+  WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+  g AS (SELECT doc_id, unnest(generate_series(1, len(ws) - 1)) AS i, ws
+        FROM d),
+  big AS (SELECT ws[i] AS a, ws[i + 1] AS b FROM g),
+  cab AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cab
+          FROM big GROUP BY 1, 2),
+  words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+  uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM words GROUP BY 1),
+  totals AS (
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM big) AS bt,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM words) AS tt),
+  j AS (
+    SELECT cab.a, cab.b, cab.cab, ua.c AS ca, ub.c AS cb,
+           LN((CAST(cab.cab AS DOUBLE) / CAST(bt AS DOUBLE))
+              / ((CAST(ua.c AS DOUBLE) / CAST(tt AS DOUBLE))
+                 * (CAST(ub.c AS DOUBLE) / CAST(tt AS DOUBLE)))) AS pmi
+    FROM cab
+    JOIN uni ua ON ua.w = cab.a
+    JOIN uni ub ON ub.w = cab.b
+    CROSS JOIN totals
+    WHERE cab.cab >= 5),
+  r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, a, b) AS rank
+        FROM j)
+  SELECT a, b, cab, ca, cb, CAST(rank AS INT) AS rank,
+         CAST(FLOOR(pmi * 1000000.0) AS BIGINT) AS pmi_micro
+  FROM r WHERE rank <= 50
+""")
+def q_pmi_bigrams(spark, sf_dir):
+    """Top-50 adjacent-bigram collocations by PMI (min count 5) —
+    phrase mining over the corpus; bigrams via a narrow array
+    transform, exact-integer counts, TakeOrdered top-k."""
+    return textstats.pmi_bigrams(_t(spark, sf_dir, "documents"))
+
+
+@register("track_resample", f"""
+  WITH pts AS (
+    SELECT user_id, pid, epoch(ts) AS es, 1 AS is_pt, lat, lon,
+           CAST(NULL AS BIGINT) AS g
+    FROM ({PTS_SQL}) WHERE user_id % 7 = 0),
+  bounds AS (SELECT user_id, MIN(es) AS lo, MAX(es) AS hi
+             FROM pts GROUP BY user_id),
+  grid AS (
+    SELECT user_id,
+           CAST(unnest(generate_series(
+             CAST(CEIL(lo / 900.0) AS BIGINT),
+             CAST(FLOOR(hi / 900.0) AS BIGINT))) AS BIGINT) AS gi
+    FROM bounds),
+  gridr AS (
+    SELECT user_id, CAST(NULL AS BIGINT) AS pid,
+           CAST(gi * 900 AS DOUBLE) AS es, 0 AS is_pt,
+           CAST(NULL AS DOUBLE) AS lat, CAST(NULL AS DOUBLE) AS lon,
+           gi * 900 AS g
+    FROM grid),
+  tagged AS (SELECT * FROM pts UNION ALL SELECT * FROM gridr),
+  carried AS (
+    SELECT user_id, is_pt, es, g,
+           LAST_VALUE(CASE WHEN is_pt = 1 THEN es END IGNORE NULLS)
+             OVER wa AS pes,
+           LAST_VALUE(lat IGNORE NULLS) OVER wa AS plat,
+           LAST_VALUE(lon IGNORE NULLS) OVER wa AS plon,
+           LAST_VALUE(CASE WHEN is_pt = 1 THEN es END IGNORE NULLS)
+             OVER wd AS nes,
+           LAST_VALUE(lat IGNORE NULLS) OVER wd AS nlat,
+           LAST_VALUE(lon IGNORE NULLS) OVER wd AS nlon
+    FROM tagged
+    WINDOW wa AS (PARTITION BY user_id
+                  ORDER BY es, is_pt DESC, pid DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wd AS (PARTITION BY user_id
+                  ORDER BY es DESC, is_pt DESC, pid
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+  interp AS (
+    SELECT user_id, g,
+           CASE WHEN nes = pes THEN plat
+                ELSE plat + (nlat - plat) * ((es - pes) / (nes - pes))
+           END AS ilat,
+           CASE WHEN nes = pes THEN plon
+                ELSE plon + (nlon - plon) * ((es - pes) / (nes - pes))
+           END AS ilon
+    FROM carried
+    WHERE is_pt = 0 AND pes IS NOT NULL AND nes IS NOT NULL)
+  SELECT user_id, g AS g_sec,
+         CAST(FLOOR(ilat * 1000000.0) AS BIGINT) AS lat_micro,
+         CAST(FLOOR(ilon * 1000000.0) AS BIGINT) AS lon_micro
+  FROM interp
+""")
+def q_track_resample(spark, sf_dir):
+    """Fixed-interval (900 s) temporal resampling of every track with
+    linear interpolation — JOIN-FREE via one tagged union + mirrored
+    ascending/descending LOCF windows (geo.resample_tracks); the
+    oracle runs the identical two-window derivation in DuckDB.
+    Restricted to a deterministic 1-in-7 user subset to keep the
+    oracle-collected output bounded (~60k rows at the gate scale,
+    ~600k at the sf1 decade)."""
+    pts = _points(spark, sf_dir).filter(F.col("user_id") % 7 == 0)
+    return geo.resample_tracks(pts, step_sec=900)

@@ -153,3 +153,72 @@ def test_streaming_cms_equals_batch_sketch(spark):
     g = got.sort_values(key).reset_index(drop=True)
     b = batch.sort_values(key).reset_index(drop=True)
     assert (g.est_cnt == b.est_cnt).all() and (g.exact_cnt == b.exact_cnt).all()
+
+
+def test_tfidf_matches_naive(spark):
+    from gpx2tiles_spark.operators.textstats import tfidf_topterms
+    got = tfidf_topterms(_docs(spark), k=3).toPandas()
+    docs = _docs(spark).select("doc_id", "text").toPandas()
+    toks = {r.doc_id: r.text.split(" ") for _, r in docs.iterrows()}
+    n = len(toks)
+    from collections import Counter
+    df = Counter()
+    for words in toks.values():
+        df.update(set(words))
+    for d, words in list(toks.items())[:40]:
+        tf = Counter(words)
+        scored = sorted(((t, tf[t] * math.log(n / df[t])) for t in tf),
+                        key=lambda kv: (-kv[1], kv[0]))[:3]
+        g = got[got.doc_id == d].sort_values("rank")
+        assert list(g.term) == [t for t, _ in scored], d
+        for (t, s), (_, row) in zip(scored, g.iterrows()):
+            assert row.tfidf_micro == math.floor(s * 1e6)
+
+
+def test_pmi_matches_naive(spark):
+    from collections import Counter
+
+    from gpx2tiles_spark.operators.textstats import pmi_bigrams
+    got = pmi_bigrams(_docs(spark), min_count=5, topk=20).toPandas()
+    docs = _docs(spark).select("text").toPandas()
+    uni, big = Counter(), Counter()
+    for t in docs.text:
+        ws = t.split(" ")
+        uni.update(ws)
+        big.update(zip(ws[:-1], ws[1:]))
+    T, B = sum(uni.values()), sum(big.values())
+    pmis = {ab: math.log((c / B) / ((uni[ab[0]] / T) * (uni[ab[1]] / T)))
+            for ab, c in big.items() if c >= 5}
+    want = sorted(pmis, key=lambda ab: (-pmis[ab], ab))[:20]
+    assert list(zip(got.sort_values("rank").a, got.sort_values("rank").b)) \
+        == want
+    top = got[got["rank"] == 1].iloc[0]
+    assert top.pmi_micro == math.floor(pmis[(top.a, top.b)] * 1e6)
+
+
+def test_resample_matches_numpy_interp(spark):
+    import numpy as np
+
+    from gpx2tiles_spark.operators.geo import derived_points, resample_tracks
+    pts = derived_points(_events(spark))
+    got = resample_tracks(pts.filter(F.col("user_id") % 7 == 0),
+                          step_sec=900).toPandas()
+    pdf = pts.filter(F.col("user_id") % 7 == 0).toPandas()
+    pdf["es"] = pdf.ts.astype("int64") / 1e9
+    for uid, g in pdf.groupby("user_id"):
+        g = g.sort_values(["es", "pid"])
+        lo, hi = g.es.min(), g.es.max()
+        grid = np.arange(math.ceil(lo / 900.0), math.floor(hi / 900.0) + 1) * 900
+        # duplicate timestamps: np.interp needs strictly usable xp — keep
+        # first occurrence (matches the window's bracketing choice up to
+        # interpolation, which is exact at duplicate-free this corpus)
+        want_lat = np.interp(grid, g.es, g.lat)
+        want_lon = np.interp(grid, g.es, g.lon)
+        r = got[got.user_id == uid].sort_values("g_sec")
+        assert list(r.g_sec) == list(grid.astype("int64")), uid
+        assert np.allclose(r.lat_micro / 1e6, want_lat, atol=3e-6)
+        assert np.allclose(r.lon_micro / 1e6, want_lon, atol=3e-6)
+    # grid instants that hit a fix exactly return that fix exactly
+    hits = got.merge(pdf, left_on=["user_id", "g_sec"],
+                     right_on=["user_id", "es"])
+    assert (hits.lat_micro == np.floor(hits.lat * 1e6)).all()

@@ -136,6 +136,21 @@ SECTIONS: list[tuple[str, str, str]] = [
      "Douglas–Peucker (round-5): ONE Exchange on the track key + one "
      "FlatMapGroupsInPandas — sequential recursion inside a track, "
      "parallel across tracks, O(track length) memory per group."),
+    ("tfidf_topterms", "tfidf_topterms",
+     "tf·idf keywords (round-5): explode → (doc,word) tf groupBy → "
+     "word df groupBy, word-keyed shuffles (the inverted-index "
+     "partition key); the only broadcast is the 1-row corpus count; "
+     "score is per-row float math — no float aggregation anywhere."),
+    ("pmi_bigrams", "pmi_bigrams",
+     "PMI collocations (round-5): bigrams from a narrow array "
+     "transform (no window, no pre-shuffle), exact-integer count "
+     "groupBys, two 1-row totals broadcasts, TakeOrderedAndProject "
+     "top-k — never a global sort."),
+    ("track_resample", "track_resample",
+     "Temporal resample (round-5): JOIN-FREE — grid union + mirrored "
+     "asc/desc LOCF windows on ONE user-keyed partitioning (2 "
+     "Exchanges total incl. the per-user bounds agg); no range join, "
+     "no per-instant lookup."),
 ]
 
 COUNT_KEYS = ["exchanges", "reused_exchanges", "arrow_evals",
