@@ -116,7 +116,8 @@ def run_bench(sf_dir: str, cpus: int, n_render_docs: int | None = None):
                  "tile_occupancy_quantiles", "asof_join_alerts",
                  "track_stats", "stratified_split", "weighted_sample",
                  "bm25_topk", "cms_user_counts", "track_simplify_dp",
-                 "tfidf_topterms", "pmi_bigrams", "track_resample"):
+                 "tfidf_topterms", "pmi_bigrams", "track_resample",
+                 "speed_outliers"):
         def run(q=qs[name]):
             q(spark, sf_dir).write.format("noop").mode("overwrite").save()
         sec, info = _timed_clean(run)

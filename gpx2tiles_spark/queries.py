@@ -3103,3 +3103,60 @@ def q_track_resample(spark, sf_dir):
     ~600k at the sf1 decade)."""
     pts = _points(spark, sf_dir).filter(F.col("user_id") % 7 == 0)
     return geo.resample_tracks(pts, step_sec=900)
+
+
+@register("speed_outliers", f"""
+  WITH pts AS ({PTS_SQL}),
+  m AS (
+    SELECT pid, user_id,
+           CAST(FLOOR(kph * 1000.0) AS BIGINT) AS kph_milli
+    FROM pts),
+  st AS (
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(kph_milli) AS BIGINT) AS s1,
+           CAST(SUM(kph_milli * kph_milli) AS BIGINT) AS s2
+    FROM m GROUP BY user_id),
+  z AS (
+    SELECT m.pid, m.user_id, m.kph_milli,
+           (CAST(m.kph_milli AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+             / SQRT(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                    - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) AS zs
+    FROM m JOIN st ON st.user_id = m.user_id
+    WHERE CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+          - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+            * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) > 0.0)
+  SELECT pid, user_id, kph_milli,
+         CAST(FLOOR(zs * 1000000.0) AS BIGINT) AS z_micro
+  FROM z WHERE zs > 2.5 OR zs < -2.5
+""")
+def q_speed_outliers(spark, sf_dir):
+    """Per-user speed anomaly detection: |z| > 2.5 under the user's own
+    mean/std — the data-quality screen a GPS pipeline runs before
+    training on speeds.  Moments come from EXACT integer sums
+    (per-row milli floors; s2 ≤ n·1e10 stays far inside int64), so the
+    float mean/variance/z are single-op-tree doubles — no float
+    aggregation-order hazard, hence the exact oracle.  One groupBy +
+    one same-key join (the stats table is per-user-bounded; at 10^12
+    rows this is a broadcastable aggregate side)."""
+    pts = _points(spark, sf_dir)
+    m = pts.select(
+        "pid", "user_id",
+        F.floor(F.col("kph") * F.lit(1000.0)).cast("long")
+        .alias("kph_milli"))
+    st = m.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("kph_milli").alias("s1"),
+        F.sum(F.col("kph_milli") * F.col("kph_milli")).alias("s2"))
+    j = m.join(st, "user_id")
+    n = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / n
+    var = F.col("s2").cast("double") / n - mean * mean
+    zs = (F.col("kph_milli").cast("double") - mean) / F.sqrt(var)
+    return (j.filter(var > 0.0)
+            .withColumn("zs", zs)
+            .filter((F.col("zs") > 2.5) | (F.col("zs") < -2.5))
+            .select("pid", "user_id", "kph_milli",
+                    F.floor(F.col("zs") * F.lit(1000000.0)).cast("long")
+                    .alias("z_micro")))

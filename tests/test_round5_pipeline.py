@@ -222,3 +222,26 @@ def test_resample_matches_numpy_interp(spark):
     hits = got.merge(pdf, left_on=["user_id", "g_sec"],
                      right_on=["user_id", "es"])
     assert (hits.lat_micro == np.floor(hits.lat * 1e6)).all()
+
+
+def test_speed_outliers_matches_numpy(spark):
+    import numpy as np
+
+    from gpx2tiles_spark.queries import queries
+    got = queries()["speed_outliers"](spark, SF_SMOKE).toPandas()
+    from gpx2tiles_spark.operators.geo import derived_points
+    pts = derived_points(_events(spark)).toPandas()
+    pts["kph_milli"] = np.floor(pts.kph * 1000.0).astype("int64")
+    want = set()
+    for uid, g in pts.groupby("user_id"):
+        x = g.kph_milli.to_numpy("float64")
+        mean = x.sum() / len(x)
+        var = (x * x).sum() / len(x) - mean * mean
+        if var <= 0:
+            continue
+        z = (x - mean) / math.sqrt(var)
+        for pid, zz in zip(g.pid, z):
+            if abs(zz) > 2.5:
+                want.add((uid, pid))
+    assert set(zip(got.user_id, got.pid)) == want
+    assert len(got) > 0
