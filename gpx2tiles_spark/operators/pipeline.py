@@ -323,3 +323,57 @@ def cms_sql(key_expr: str, src_sql: str, d: int = CMS_D) -> str:
          exact.exact_cnt
   FROM est JOIN exact ON exact.k = est.k
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Bloom filter (m=4096 bits, k=3 md5-salted hashes) —
+# runtime semi-join pruning, the "build a filter from the small side,
+# prune the big side map-side" technique (Spark's own runtime row-group
+# filters do exactly this at the storage layer).
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 4096   # bits
+BLOOM_K = 3      # hash functions
+
+
+def _bloom_pos(key: Column, r: int) -> Column:
+    """Bit position r for a key: 3 hex chars of a salted md5 = 12 bits
+    (0..4095) — string-sliced, engine-portable (the conv/strtol-free
+    nibble ladder from hex_u01)."""
+    h = F.md5(F.concat(F.lit(f"bf{r}|"), key))
+    v: Column | None = None
+    for i in range(3):
+        nb = _nib(F.substring(h, 1 + i, 1))
+        v = nb if v is None else v * F.lit(16) + nb
+    return v
+
+
+def bloom_bits(keys: DataFrame, key_col: str, k: int = BLOOM_K) -> DataFrame:
+    """→ (pos): the DISTINCT set-bit positions of the filter — ≤ m rows
+    regardless of the build side's size (the distinct is the map-side-
+    combinable 'OR' of a bit array)."""
+    pos = F.array(*[_bloom_pos(F.col(key_col).cast("string"), r)
+                    for r in range(k)])
+    return (keys.select(F.explode(pos).alias("pos")).distinct())
+
+
+def bloom_prune(facts: DataFrame, bits: DataFrame, key_col: str,
+                k: int = BLOOM_K) -> DataFrame:
+    """Keep fact rows whose key passes the filter: all k positions set.
+    The bits side is ≤ m rows → broadcast; the probe is an explode +
+    broadcast semi-count — the fact table NEVER shuffles on the key,
+    which is the whole point of bloom pruning at 10^12 rows."""
+    pos = F.array(*[_bloom_pos(F.col(key_col).cast("string"), r)
+                    for r in range(k)])
+    keys = facts.select(key_col).distinct()
+    probed = (keys.withColumn("_pos", F.explode(pos))
+              .join(F.broadcast(bits.withColumnRenamed("pos", "_pos")),
+                    "_pos"))
+    # COUNT(*), not countDistinct: two of a key's k hashes may share a
+    # bit position (each probe row still matches exactly one bits row),
+    # and a Bloom filter must never false-negative a member
+    hits = (probed.groupBy(key_col)
+            .agg(F.count("*").alias("_nhit"))
+            .filter(F.col("_nhit") == k)
+            .select(key_col))
+    return facts.join(F.broadcast(hits), key_col)

@@ -3160,3 +3160,67 @@ def q_speed_outliers(spark, sf_dir):
             .select("pid", "user_id", "kph_milli",
                     F.floor(F.col("zs") * F.lit(1000000.0)).cast("long")
                     .alias("z_micro")))
+
+
+def _bloom_pos_sql(k_expr: str, r: int) -> str:
+    """3-hex-nibble ladder (0..4095) over md5('bf{r}|' + key) — the SQL
+    twin of pipeline._bloom_pos."""
+    h = f"md5(concat('bf{r}|', {k_expr}))"
+
+    def nib(i: int) -> str:
+        c = f"substr({h}, {1 + i}, 1)"
+        return (f"(CASE WHEN {c} <= '9' THEN ascii({c}) - 48"
+                f" ELSE ascii({c}) - 87 END)")
+    return f"((({nib(0)}) * 16 + {nib(1)}) * 16 + {nib(2)})"
+
+
+def _bloom_sql() -> str:
+    build_pos = " UNION ALL ".join(
+        f"SELECT {_bloom_pos_sql('k', r)} AS pos FROM build"
+        for r in range(3))
+    probe_pos = " UNION ALL ".join(
+        f"SELECT k, {_bloom_pos_sql('k', r)} AS pos FROM keys"
+        for r in range(3))
+    return f"""
+  WITH build AS (
+    SELECT DISTINCT CAST(user_id AS VARCHAR) AS k
+    FROM events WHERE user_id % 11 = 0),
+  bits AS (SELECT DISTINCT pos FROM ({build_pos})),
+  keys AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events),
+  probes AS ({probe_pos}),
+  pass AS (
+    SELECT k FROM (
+      SELECT p.k, COUNT(*) AS nh
+      FROM probes p JOIN bits b ON b.pos = p.pos
+      GROUP BY p.k) x
+    WHERE nh = 3)
+  SELECT e.user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(MAX(CASE WHEN e.user_id % 11 = 0 THEN 1 ELSE 0 END) AS INT)
+           AS is_member
+  FROM events e JOIN pass ON pass.k = CAST(e.user_id AS VARCHAR)
+  GROUP BY e.user_id
+"""
+
+
+@register("bloom_prune_events", _bloom_sql())
+def q_bloom_prune_events(spark, sf_dir):
+    """Runtime Bloom-filter semi-join pruning: a deterministic filter
+    (m=4096 bits, k=3 md5-salted hashes) built from the 'alert users'
+    key set (user_id % 11 = 0) prunes the event fact table WITHOUT
+    shuffling it — bits and surviving keys both broadcast.  Output
+    keeps `is_member` so the (reproducible, md5-deterministic) false
+    positives are part of the hash-checked surface, not hidden.  A
+    Bloom filter can never drop a member (COUNT of matched probe rows,
+    robust to same-key position collisions — see pipeline.bloom_prune)."""
+    ev = _t(spark, sf_dir, "events")
+    key = F.col("user_id").cast("string")
+    build = (ev.filter(F.col("user_id") % 11 == 0)
+             .select(key.alias("key")).distinct())
+    bits = pipeline.bloom_bits(build, "key")
+    facts = ev.withColumn("key", key)
+    pruned = pipeline.bloom_prune(facts, bits, "key")
+    return pruned.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.max(F.when(F.col("user_id") % 11 == 0, 1).otherwise(0))
+        .cast("int").alias("is_member"))

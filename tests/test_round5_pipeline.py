@@ -245,3 +245,33 @@ def test_speed_outliers_matches_numpy(spark):
                 want.add((uid, pid))
     assert set(zip(got.user_id, got.pid)) == want
     assert len(got) > 0
+
+
+def test_bloom_prune_supersets_members_and_matches_hashlib(spark):
+    """The pruned set contains EVERY member (no false negatives), any
+    extras are reproducible md5 false positives, and the bit positions
+    match a from-scratch hashlib reimplementation."""
+    from gpx2tiles_spark.queries import queries
+    got = queries()["bloom_prune_events"](spark, SF_SMOKE).toPandas()
+    ev = _events(spark).toPandas()
+    members = set(ev[ev.user_id % 11 == 0].user_id)
+    kept = set(got.user_id)
+    assert members <= kept
+    # independent bloom: positions from hashlib
+    def positions(key):
+        out = []
+        for r in range(3):
+            h = hashlib.md5(f"bf{r}|{key}".encode()).hexdigest()
+            out.append(int(h[:3], 16))
+        return out
+    bits = set()
+    for m in members:
+        bits.update(positions(str(m)))
+    want = {u for u in set(ev.user_id)
+            if all(p in bits for p in positions(str(u)))}
+    assert kept == want
+    # flag column separates members from false positives
+    assert set(got[got.is_member == 1].user_id) == members
+    counts = ev.groupby("user_id").size()
+    for _, r in got.iterrows():
+        assert r.n_events == counts[r.user_id]
