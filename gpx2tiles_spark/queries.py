@@ -3224,3 +3224,197 @@ def q_bloom_prune_events(spark, sf_dir):
         F.count("*").alias("n_events"),
         F.max(F.when(F.col("user_id") % 11 == 0, 1).otherwise(0))
         .cast("int").alias("is_member"))
+
+
+# ---------------------------------------------------------------------------
+# Trajectory mining: stay points / OD flows / co-visitation / decayed tiles
+# ---------------------------------------------------------------------------
+
+_TRAJ_BASE_SQL = f"""
+  WITH pts AS ({PTS_SQL}),
+  tp AS (
+    SELECT pid, user_id, ts, CAST(FLOOR(epoch(ts)) AS BIGINT) AS es,
+           {{tx}} AS tx, {{ty}} AS ty
+    FROM pts)
+"""
+
+
+def _traj_sql(zoom: int, body: str) -> str:
+    z = str(zoom)
+    return _TRAJ_BASE_SQL.format(tx=tx_sql("lon", z), ty=ty_sql("lat", z)) + body
+
+
+@register("stay_points", f"""
+  WITH pts AS (
+    SELECT doc_id, seg_order, pt_idx, lat, lon
+    FROM read_parquet('{os.path.join(_ORACLE_CACHE, "points_current", "*.parquet")}')
+    WHERE kind = 'trkpt'),
+  tp AS (
+    SELECT doc_id, seg_order, pt_idx,
+           {tx_sql("lon", "14")} AS tx, {ty_sql("lat", "14")} AS ty
+    FROM pts),
+  m AS (
+    SELECT doc_id, seg_order, pt_idx, tx, ty,
+           CASE WHEN LAG(tx) OVER w IS NULL OR LAG(tx) OVER w <> tx
+                  OR LAG(ty) OVER w <> ty THEN 1 ELSE 0 END AS moved
+    FROM tp WINDOW w AS (PARTITION BY doc_id ORDER BY seg_order, pt_idx)),
+  isl AS (
+    SELECT doc_id, tx, ty,
+           SUM(moved) OVER (PARTITION BY doc_id ORDER BY seg_order, pt_idx
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS island
+    FROM m),
+  g AS (
+    SELECT doc_id, CAST(island AS BIGINT) AS island,
+           MIN(tx) AS tx, MIN(ty) AS ty, COUNT(*) AS n_fixes
+    FROM isl GROUP BY 1, 2)
+  SELECT doc_id, island, tx, ty, n_fixes FROM g WHERE n_fixes >= 4
+""")
+def q_stay_points(spark, sf_dir):
+    """Stay-point (dwell) detection over the parsed GPX tracks: maximal
+    runs of consecutive fixes inside one z14 tile per document, kept at
+    >= 4 fixes - the gaps-and-islands window pattern (lag -> running sum
+    -> groupBy), all keyed on doc_id so the points table shuffles once.
+    The oracle replays the identical island derivation in DuckDB over
+    the cached parsed points on the same (seg_order, pt_idx) order."""
+    from .operators import trajectory
+    _points_cache(spark, sf_dir)
+    trk = parse_documents(_sf_docs(spark, sf_dir)) \
+        .filter(F.col("kind") == "trkpt") \
+        .select("doc_id", "seg_order", "pt_idx", "lat", "lon")
+    return trajectory.dwell_islands(trk, zoom=14, min_fixes=4)
+
+
+@register("od_matrix", _traj_sql(8, """
+  , m AS (
+    SELECT user_id, ts, pid, es, tx, ty,
+           CASE WHEN LAG(es) OVER w IS NULL OR es - LAG(es) OVER w > 1800
+                THEN 1 ELSE 0 END AS new_sess
+    FROM tp WINDOW w AS (PARTITION BY user_id ORDER BY ts, pid)),
+  s AS (
+    SELECT user_id, ts, pid, tx, ty,
+           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, pid
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS sess
+    FROM m),
+  r AS (
+    SELECT user_id, sess, tx, ty,
+           ROW_NUMBER() OVER (PARTITION BY user_id, sess
+                              ORDER BY ts, pid) AS ra,
+           ROW_NUMBER() OVER (PARTITION BY user_id, sess
+                              ORDER BY ts DESC, pid DESC) AS rd
+    FROM s),
+  ends AS (
+    SELECT user_id, sess,
+           MAX(CASE WHEN ra = 1 THEN tx END) AS o_tx,
+           MAX(CASE WHEN ra = 1 THEN ty END) AS o_ty,
+           MAX(CASE WHEN rd = 1 THEN tx END) AS d_tx,
+           MAX(CASE WHEN rd = 1 THEN ty END) AS d_ty
+    FROM r GROUP BY 1, 2)
+  SELECT o_tx, o_ty, d_tx, d_ty, COUNT(*) AS n_trips,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM ends GROUP BY 1, 2, 3, 4
+"""))
+def q_od_matrix(spark, sf_dir):
+    """Origin-destination flow matrix: per (user, 30-min session) the
+    first and last fix's z8 cell (row_number in both (ts, pid)
+    directions — a total order both engines share, no arg_min
+    semantics), then trips + distinct users per cell pair.  The flow
+    matrix is dimension-bounded, so downstream joins can broadcast it."""
+    from .operators import trajectory
+    return trajectory.od_matrix(_points(spark, sf_dir),
+                                zoom=8, gap_minutes=30)
+
+
+@register("co_visit_pairs", _traj_sql(7, """
+  , posts AS (
+    SELECT DISTINCT user_id, tx, ty, CAST(FLOOR(es / 86400.0) AS BIGINT) AS day
+    FROM tp),
+  nu AS (
+    SELECT tx, ty, day, COUNT(*) AS n_users FROM posts GROUP BY 1, 2, 3),
+  ok AS (SELECT tx, ty, day FROM nu WHERE n_users <= 32),
+  p AS (SELECT posts.* FROM posts JOIN ok USING (tx, ty, day)),
+  pr AS (
+    SELECT a.user_id AS ua, b.user_id AS ub, COUNT(*) AS n_shared
+    FROM p a JOIN p b USING (tx, ty, day)
+    WHERE a.user_id < b.user_id
+    GROUP BY 1, 2)
+  SELECT ua, ub, n_shared FROM pr WHERE n_shared >= 2
+"""))
+def q_co_visit_pairs(spark, sf_dir):
+    """Spatiotemporal co-visitation: user pairs sharing ≥ 2 distinct
+    (z7 tile, day) buckets.  The inverted-index self-join with the
+    degenerate-bucket cap (> 32 visitors ⇒ bucket dropped BEFORE the
+    join — the MinHash max_bucket policy applied to space-time): pair
+    volume is Σ min(n_u, 32)² per bucket, never corpus², and the cap is
+    part of the contract the oracle checks on both sides."""
+    from .operators import trajectory
+    return trajectory.co_visit_pairs(_points(spark, sf_dir),
+                                     zoom=7, max_users=32, min_shared=2)
+
+
+@register("tile_decay", _traj_sql(6, """
+  , byday AS (
+    SELECT tx, ty, CAST(FLOOR(es / 86400.0) AS BIGINT) AS day,
+           COUNT(*) AS cnt
+    FROM tp GROUP BY 1, 2, 3),
+  mx AS (SELECT MAX(day) AS max_day FROM byday)
+  SELECT tx, ty, COUNT(*) AS n_days,
+         CAST(SUM(cnt) AS BIGINT) AS n_points,
+         CAST(SUM(CASE WHEN 29 - (max_day - day) >= 0
+                       THEN cnt * (CAST(1 AS BIGINT) << CAST(29 - (max_day - day) AS INT))
+                       ELSE 0 END) AS BIGINT) AS decayed_x2h
+  FROM byday, mx GROUP BY 1, 2
+"""))
+def q_tile_decay(spark, sf_dir):
+    """Exponentially time-decayed per-z6-tile activity (alpha = 1/2 per
+    day) computed EXACTLY in int64: day-counts weighted 2^(29 − age)
+    make the decayed counter an associative integer sum — order-free and
+    partial-agg-mergeable, hence full-hash-checkable, where a float
+    pow() EWMA has no deterministic aggregation order.  Two map-side-
+    combinable groupBys + one 1-row max-day broadcast."""
+    from .operators import trajectory
+    return trajectory.tile_decay(_points(spark, sf_dir),
+                                 zoom=6, horizon_days=29)
+
+
+@register("span_media_context", f"""
+  WITH sp AS (
+    SELECT doc_id, CAST(i - 1 AS INT) AS span_idx,
+           spans[i].kind AS kind, spans[i].text AS text,
+           spans[i].media_ref AS media_ref
+    FROM read_parquet('{os.path.join(_ORACLE_CACHE, "docs_current", "*.parquet")}'),
+         unnest(generate_series(1, len(spans))) AS t(i)),
+  c AS (
+    SELECT doc_id, span_idx, kind, media_ref,
+           LAST_VALUE(CASE WHEN kind = 'text' THEN text END IGNORE NULLS)
+             OVER (PARTITION BY doc_id ORDER BY span_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ctx
+    FROM sp)
+  SELECT doc_id, span_idx, media_ref,
+         md5(COALESCE(ctx, '')) AS ctx_md5,
+         CAST(LENGTH(COALESCE(ctx, '')) AS INT) AS ctx_len
+  FROM c WHERE kind = 'media'
+""")
+def q_span_media_context(spark, sf_dir):
+    """Interleaved-payload context join: for every media span, the
+    nearest PRECEDING text span in the same document — the
+    caption/alt-text association a multimodal training pipeline derives
+    from span order.  One window over (doc_id, span_idx) with an
+    ignore-nulls last_value — no self-join, no explode beyond the span
+    table itself; the span-sequence invariant (order) is what makes the
+    association well-defined, and the oracle replays it from the raw
+    span arrays."""
+    from .operators.parse import explode_spans
+    docs = spark.read.parquet(_docs_cache(spark, sf_dir))
+    sp = explode_spans(docs)
+    w = Window.partitionBy("doc_id").orderBy("span_idx") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    ctx = F.last(F.when(F.col("kind") == "text", F.col("text")),
+                 ignorenulls=True).over(w)
+    return (sp.withColumn("ctx", ctx)
+            .filter(F.col("kind") == "media")
+            .select("doc_id", "span_idx", "media_ref",
+                    F.md5(F.coalesce("ctx", F.lit(""))).alias("ctx_md5"),
+                    F.length(F.coalesce("ctx", F.lit(""))).cast("int")
+                    .alias("ctx_len")))
