@@ -482,3 +482,82 @@ def resample_tracks(points: DataFrame, step_sec: int = 900) -> DataFrame:
         "user_id", F.col("g").alias("g_sec"),
         F.floor(ilat * F.lit(1000000.0)).cast("long").alias("lat_micro"),
         F.floor(ilon * F.lit(1000000.0)).cast("long").alias("lon_micro"))
+
+
+# ---------------------------------------------------------------------------
+# Map matching: snap points to the nearest road segment
+# ---------------------------------------------------------------------------
+
+def road_segments(suppliers: DataFrame) -> DataFrame:
+    """Deterministic road-segment dimension from the supplier table:
+    one short segment per key (midpoint on the same derived grid as the
+    POI dim, endpoints ±0.1° offsets) — the broadcastable vector side of
+    the map-matching join."""
+    k = F.col("s_suppkey")
+    x1 = (k * 29 % 3600).cast("double") / 10.0 - 179.95
+    y1 = (k * 13 % 1400).cast("double") / 10.0 - 69.95
+    dx = ((k * 17 % 21) - 10).cast("double") / 100.0
+    dy = ((k * 23 % 21) - 10).cast("double") / 100.0
+    return suppliers.select(
+        k.alias("seg_id"),
+        x1.alias("x1"), y1.alias("y1"),
+        (x1 + dx).alias("x2"), (y1 + dy).alias("y2"))
+
+
+def map_match(points: DataFrame, segments: DataFrame,
+              zoom: int = 7) -> DataFrame:
+    """Snap every point to its nearest road segment (planar lon/lat
+    point-to-segment distance, clamped projection) — the map-matching
+    primitive of a GPS pipeline.
+
+    Candidate generation mirrors knn_bucketed: each segment is
+    replicated to the 3×3 cell neighborhood of its midpoint at ``zoom``
+    (segments are ≲0.14° long, cells 2.8° — one ring covers every
+    point whose nearest segment could live next door), points probe
+    their own cell only, and the replicated dim side BROADCASTS — the
+    10^12-point fact table never shuffles.  Nearest = min (d², seg_id)
+    via one per-point window; ``t_micro`` is the snapped curve position.
+    Points whose cell contains no candidate segment are dropped (inner
+    join), the documented partial-coverage contract.
+    """
+    n = 1 << zoom
+    mx = (F.col("x1") + F.col("x2")) / 2.0
+    my = (F.col("y1") + F.col("y2")) / 2.0
+    segc = segments.select(
+        "seg_id", "x1", "y1", "x2", "y2",
+        P.tilex_col(mx, zoom).alias("mtx"),
+        P.tiley_col(my, zoom).alias("mty"))
+    ring = [F.lit(i) for i in (-1, 0, 1)]
+    neigh = (segc
+             .withColumn("ddx", F.explode(F.array(*ring)))
+             .withColumn("ddy", F.explode(F.array(*ring)))
+             .select(
+                 "seg_id", "x1", "y1", "x2", "y2",
+                 (((F.col("mtx") + F.col("ddx")) + n) % n
+                  + F.least(F.greatest(F.col("mty") + F.col("ddy"), F.lit(0)),
+                            F.lit(n - 1)) * n).alias("cell"))
+             .dropDuplicates(["seg_id", "cell"]))
+    pts = points.withColumn(
+        "cell",
+        P.tilex_col(F.col("lon"), zoom)
+        + P.tiley_col(F.col("lat"), zoom) * F.lit(n))
+    j = pts.join(F.broadcast(neigh), "cell")
+    dx = F.col("x2") - F.col("x1")
+    dy = F.col("y2") - F.col("y1")
+    len2 = dx * dx + dy * dy
+    traw = ((F.col("lon") - F.col("x1")) * dx
+            + (F.col("lat") - F.col("y1")) * dy) / len2
+    t = F.when(len2 > 0.0,
+               F.least(F.lit(1.0), F.greatest(F.lit(0.0), traw))) \
+         .otherwise(F.lit(0.0))
+    cx = F.col("x1") + t * dx
+    cy = F.col("y1") + t * dy
+    d2 = (F.col("lon") - cx) * (F.col("lon") - cx) \
+        + (F.col("lat") - cy) * (F.col("lat") - cy)
+    scored = j.select("pid", "seg_id", t.alias("t"), d2.alias("d2"))
+    w = Window.partitionBy("pid").orderBy("d2", "seg_id")
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") == 1)
+            .select("pid", "seg_id",
+                    F.floor(F.col("t") * F.lit(1000000.0)).cast("long")
+                    .alias("t_micro")))

@@ -3418,3 +3418,64 @@ def q_span_media_context(spark, sf_dir):
                     F.md5(F.coalesce("ctx", F.lit(""))).alias("ctx_md5"),
                     F.length(F.coalesce("ctx", F.lit(""))).cast("int")
                     .alias("ctx_len")))
+
+
+_MAPMATCH_SQL = f"""
+  WITH pts AS ({PTS_SQL}),
+  seg AS (
+    SELECT s_suppkey AS seg_id,
+           (CAST(s_suppkey * 29 % 3600 AS DOUBLE) / 10.0) - 179.95 AS x1,
+           (CAST(s_suppkey * 13 % 1400 AS DOUBLE) / 10.0) - 69.95 AS y1,
+           ((CAST(s_suppkey * 29 % 3600 AS DOUBLE) / 10.0) - 179.95)
+             + CAST(s_suppkey * 17 % 21 - 10 AS DOUBLE) / 100.0 AS x2,
+           ((CAST(s_suppkey * 13 % 1400 AS DOUBLE) / 10.0) - 69.95)
+             + CAST(s_suppkey * 23 % 21 - 10 AS DOUBLE) / 100.0 AS y2
+    FROM supplier),
+  segn AS (
+    SELECT DISTINCT seg_id, x1, y1, x2, y2,
+           ((({tx_sql("(x1 + x2) / 2.0", "7")}) + ddx + 128) % 128)
+             + LEAST(GREATEST(({ty_sql("(y1 + y2) / 2.0", "7")}) + ddy, 0), 127) * 128
+             AS cell
+    FROM seg,
+         (SELECT unnest([-1, 0, 1]) AS ddx),
+         (SELECT unnest([-1, 0, 1]) AS ddy)),
+  pc AS (
+    SELECT pid, lon, lat,
+           ({tx_sql("lon", "7")}) + ({ty_sql("lat", "7")}) * 128 AS cell
+    FROM pts),
+  sc AS (
+    SELECT pid, seg_id,
+           CASE WHEN (x2-x1)*(x2-x1) + (y2-y1)*(y2-y1) > 0.0
+                THEN LEAST(1.0, GREATEST(0.0,
+                     ((lon-x1)*(x2-x1) + (lat-y1)*(y2-y1))
+                     / ((x2-x1)*(x2-x1) + (y2-y1)*(y2-y1))))
+                ELSE 0.0 END AS t,
+           x1, y1, x2, y2, lon, lat
+    FROM pc JOIN segn USING (cell)),
+  d AS (
+    SELECT pid, seg_id, t,
+           (lon - (x1 + t*(x2-x1))) * (lon - (x1 + t*(x2-x1)))
+         + (lat - (y1 + t*(y2-y1))) * (lat - (y1 + t*(y2-y1))) AS d2
+    FROM sc),
+  r AS (
+    SELECT pid, seg_id, t,
+           ROW_NUMBER() OVER (PARTITION BY pid ORDER BY d2, seg_id) AS rnk
+    FROM d)
+  SELECT pid, seg_id, CAST(FLOOR(t * 1000000.0) AS BIGINT) AS t_micro
+  FROM r WHERE rnk = 1
+"""
+
+
+@register("map_match_segments", _MAPMATCH_SQL)
+def q_map_match(spark, sf_dir):
+    """Map matching: snap each point to the nearest road segment
+    (clamped point-to-segment projection, the kernel a GPS pipeline
+    runs before any road-level aggregation).  Candidates via the
+    knn_bucketed 3×3-cell scheme with the segment dim replicated and
+    BROADCAST — the point side joins on its own z7 cell and never
+    shuffles; nearest = min (d², seg_id) per point.  The oracle
+    re-derives segments, cells, clamp and distance with the identical
+    float op tree; ``t_micro`` pins the snap position, not just the id."""
+    from .operators.geo import map_match, road_segments
+    return map_match(_points(spark, sf_dir),
+                     road_segments(_t(spark, sf_dir, "supplier")), zoom=7)

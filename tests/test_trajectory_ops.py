@@ -194,8 +194,8 @@ def test_trajectory_partitioning_independence(spark):
     """Same answers at 1 and 13 input partitions (shuffle-grain proof)."""
     from gpx2tiles_spark.operators.trajectory import co_visit_pairs, od_matrix
 
-    rows = [(i, i % 7, 86400 * (i % 5) + i * 37, -170.0 + (i * 13 % 340),
-             -60.0 + (i * 7 % 120)) for i in range(300)]
+    rows = [(i, i % 7, 86400 * (i % 5) + i * 37, float((i % 5) * 10),
+             float((i % 4) * 10)) for i in range(300)]
     base = _mk_points(spark, rows)
     for fn in (lambda d: od_matrix(d, zoom=8, gap_minutes=30),
                lambda d: co_visit_pairs(d, zoom=7, max_users=32,
@@ -203,3 +203,97 @@ def test_trajectory_partitioning_independence(spark):
         one = sorted(map(tuple, fn(base.coalesce(1)).collect()))
         many = sorted(map(tuple, fn(base.repartition(13)).collect()))
         assert one == many and one
+
+
+def test_map_match_matches_naive(spark):
+    from gpx2tiles_spark.operators.geo import map_match, road_segments
+
+    sup = spark.createDataFrame([(i,) for i in range(1, 40)],
+                                "s_suppkey long")
+    segs = {r.seg_id: (r.x1, r.y1, r.x2, r.y2)
+            for r in road_segments(sup).collect()}
+    rows = [(i, 0, 0, segs[1 + i % 39][0] + 0.03 * (i % 5),
+             segs[1 + i % 39][1] + 0.02) for i in range(60)]
+    pts = _mk_points(spark, rows)
+    got = {r.pid: (r.seg_id, r.t_micro)
+           for r in map_match(pts, road_segments(sup), zoom=7).collect()}
+
+    def cell(lon, lat):
+        return _tile(lon, lat, 7)
+
+    ref = {}
+    for pid, _, _, lon, lat in rows:
+        best = None
+        for sid, (x1, y1, x2, y2) in segs.items():
+            mc = cell((x1 + x2) / 2.0, (y1 + y2) / 2.0)
+            pc = cell(lon, lat)
+            if abs(mc[0] - pc[0]) > 1 or abs(mc[1] - pc[1]) > 1:
+                continue  # outside the 3x3 candidate ring
+            dx, dy = x2 - x1, y2 - y1
+            l2 = dx * dx + dy * dy
+            t = min(1.0, max(0.0, ((lon - x1) * dx + (lat - y1) * dy) / l2)) \
+                if l2 > 0 else 0.0
+            d2 = (lon - (x1 + t * dx)) ** 2 + (lat - (y1 + t * dy)) ** 2
+            if best is None or (d2, sid) < best[:2]:
+                best = (d2, sid, t)
+        if best is not None:
+            ref[pid] = (best[1], math.floor(best[2] * 1e6))
+    assert got == ref and got
+
+
+def test_map_match_broadcasts_dim_side(spark):
+    """The fact (points) side must never shuffle: the replicated segment
+    dim broadcasts and the nearest-pick window is the only exchange."""
+    from gpx2tiles_spark.operators.geo import map_match, road_segments
+
+    pts = _mk_points(spark, [(i, 0, 0, 8.0 + i * 0.01, 48.0)
+                             for i in range(100)])
+    sup = spark.createDataFrame([(i,) for i in range(1, 20)],
+                                "s_suppkey long")
+    plan = map_match(pts, road_segments(sup), zoom=7) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_zorder_layout_prunes_files(spark, tmp_path):
+    """The 100 TB data-layout story, measured: points written in quadkey
+    (Morton) order pack each parquet file into a contiguous key range,
+    so a small tile-range predicate touches ~1 file; the same rows
+    hash-scattered put matching rows in EVERY file.  (input_file_name
+    counts files contributing rows — min/max row-group stats skip the
+    rest of a clustered layout at scan time.)"""
+    from gpx2tiles_spark import projection as P
+
+    n = 20000
+    df = spark.range(n).select(
+        F.col("id").alias("pid"),
+        ((F.col("id") * 37 % 3600).cast("double") / 10.0 - 179.95).alias("lon"),
+        ((F.col("id") * 11 % 1400).cast("double") / 10.0 - 69.95).alias("lat"))
+    keyed = df.select(
+        "pid", "lon", "lat",
+        P.tilex_col(F.col("lon"), 8).alias("tx"),
+        P.tiley_col(F.col("lat"), 8).alias("ty")) \
+        .withColumn("zkey", P.quadkey_col(F.col("tx"), F.col("ty"), 8))
+
+    clustered = str(tmp_path / "clustered")
+    scattered = str(tmp_path / "scattered")
+    keyed.repartitionByRange(16, "zkey").sortWithinPartitions("zkey") \
+        .write.parquet(clustered)
+    keyed.repartition(16).write.parquet(scattered)
+
+    pred = "tx BETWEEN 100 AND 104 AND ty BETWEEN 120 AND 124"
+    touched = {}
+    hits = {}
+    for name, path in (("clustered", clustered), ("scattered", scattered)):
+        got = spark.read.parquet(path).filter(pred) \
+            .select(F.input_file_name().alias("f"), "pid")
+        touched[name] = got.select("f").distinct().count()
+        hits[name] = got.count()
+    assert hits["clustered"] == hits["scattered"] > 0
+    assert touched["clustered"] <= 2
+    assert touched["scattered"] >= 4 * touched["clustered"]
+    # and the predicate actually reaches the scan
+    plan = spark.read.parquet(clustered).filter(pred) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "IsNotNull(tx)" in plan
