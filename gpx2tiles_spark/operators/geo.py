@@ -555,9 +555,13 @@ def map_match(points: DataFrame, segments: DataFrame,
     d2 = (F.col("lon") - cx) * (F.col("lon") - cx) \
         + (F.col("lat") - cy) * (F.col("lat") - cy)
     scored = j.select("pid", "seg_id", t.alias("t"), d2.alias("d2"))
-    w = Window.partitionBy("pid").orderBy("d2", "seg_id")
-    return (scored.withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") == 1)
-            .select("pid", "seg_id",
-                    F.floor(F.col("t") * F.lit(1000000.0)).cast("long")
-                    .alias("t_micro")))
+    # nearest = MIN(struct(d2, seg_id, t)) — a map-side-combinable
+    # partial aggregation (each partition pre-reduces its candidates to
+    # one row per point) instead of a window sort, so the post-join
+    # shuffle carries ~|points| rows, not |points| × ring candidates.
+    best = scored.groupBy("pid").agg(
+        F.min(F.struct("d2", "seg_id", "t")).alias("b"))
+    return best.select(
+        "pid", F.col("b.seg_id").alias("seg_id"),
+        F.floor(F.col("b.t") * F.lit(1000000.0)).cast("long")
+        .alias("t_micro"))

@@ -150,10 +150,14 @@ def co_visit_pairs(points: DataFrame, zoom: int = 7,
         "user_id", "tx", "ty",
         F.floor(_epoch("ts") / F.lit(86400)).cast("long").alias("day"),
     ).distinct()
-    nu = posts.groupBy("tx", "ty", "day").agg(
-        F.count("*").alias("n_users"))
-    ok = nu.filter(F.col("n_users") <= max_users).select("tx", "ty", "day")
-    p = posts.join(ok, ["tx", "ty", "day"])
+    # bucket occupancy as a WINDOW over the postings (not a groupBy +
+    # join back): the distinct already partitioned on the posting key,
+    # so the count reuses that layout and the cap is a plain filter —
+    # no second shuffle, no join, before the self-join.
+    wb = Window.partitionBy("tx", "ty", "day")
+    p = (posts.withColumn("n_users", F.count("*").over(wb))
+         .filter(F.col("n_users") <= max_users)
+         .drop("n_users"))
     a = p.select("tx", "ty", "day", F.col("user_id").alias("ua"))
     b = p.select("tx", "ty", "day", F.col("user_id").alias("ub"))
     pairs = a.join(b, ["tx", "ty", "day"]).filter(F.col("ua") < F.col("ub"))
@@ -194,3 +198,69 @@ def tile_decay(points: DataFrame, zoom: int = 6,
             .agg(F.count("*").alias("n_days"),
                  F.sum("cnt").alias("n_points"),
                  F.sum(F.col("cnt") * weight).alias("decayed_x2h")))
+
+
+def geofence_transitions(points: DataFrame, rects: DataFrame) -> DataFrame:
+    """Geofence enter/exit events: per user in (ts, pid) order, emit a
+    row whenever the containing region changes (regions = the disjoint
+    rectangle dim; outside = -1).
+
+    LEFT broadcast containment join (outside points must survive — they
+    are what makes an *exit* observable), then one lag over the user
+    window; a transition is a null-safe region change.  The fact table
+    shuffles once (the window), the dim broadcasts.
+    """
+    p, r = points.alias("p"), rects.alias("r")
+    tagged = p.join(
+        F.broadcast(r),
+        (F.col("p.lat") >= F.col("r.lat_min"))
+        & (F.col("p.lat") < F.col("r.lat_max"))
+        & (F.col("p.lon") >= F.col("r.lon_min"))
+        & (F.col("p.lon") < F.col("r.lon_max")),
+        "left",
+    ).select(
+        "p.pid", "p.user_id", "p.ts",
+        F.coalesce(F.col("r.region_id"), F.lit(-1)).cast("long")
+        .alias("region"))
+    w = Window.partitionBy("user_id").orderBy("ts", "pid")
+    t = tagged.withColumn("prev_region", F.lag("region").over(w))
+    return (t.filter(F.col("prev_region").isNotNull()
+                     & (F.col("prev_region") != F.col("region")))
+            .select("user_id", "pid",
+                    F.col("prev_region").alias("from_region"),
+                    F.col("region").alias("to_region"),
+                    F.when(F.col("prev_region") == -1, F.lit("enter"))
+                     .when(F.col("region") == -1, F.lit("exit"))
+                     .otherwise(F.lit("switch")).alias("kind")))
+
+
+def tile_concurrency(points: DataFrame, zoom: int = 6) -> DataFrame:
+    """Peak concurrent visitors per tile: each user's presence in a tile
+    is the interval [first fix, last fix]; the peak is the classic
+    +1/−1 sweep — per tile, order the interval endpoints and take the
+    max running sum.
+
+    Endpoint order (t, delta DESC, user_id) starts intervals before
+    ending same-instant ones (touching intervals count as concurrent) —
+    the tie rule is part of the operator contract and identical in the
+    oracle.  Plan: one (user, tile) groupBy collapses 10^12 fixes to
+    ≤ |users|·|tiles| intervals, then a tile-keyed window over 2 rows
+    per interval; both stages partial-agg/window on their natural keys.
+    """
+    pts = with_tile(points, zoom)
+    iv = pts.groupBy("user_id", "tx", "ty").agg(
+        F.min(_epoch("ts")).alias("t0"),
+        F.max(_epoch("ts")).alias("t1"))
+    starts = iv.select("tx", "ty", "user_id",
+                       F.col("t0").alias("t"), F.lit(1).alias("delta"))
+    ends = iv.select("tx", "ty", "user_id",
+                     (F.col("t1") + 1).alias("t"),
+                     F.lit(-1).alias("delta"))
+    ev = starts.unionByName(ends)
+    w = Window.partitionBy("tx", "ty") \
+        .orderBy(F.col("t"), F.col("delta").desc(), F.col("user_id")) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    run = ev.withColumn("load", F.sum("delta").over(w))
+    return run.groupBy("tx", "ty").agg(
+        (F.count("*") / 2).cast("long").alias("n_users"),
+        F.max("load").cast("long").alias("peak_concurrency"))

@@ -3479,3 +3479,72 @@ def q_map_match(spark, sf_dir):
     from .operators.geo import map_match, road_segments
     return map_match(_points(spark, sf_dir),
                      road_segments(_t(spark, sf_dir, "supplier")), zoom=7)
+
+
+@register("geofence_transitions", f"""
+  WITH pts AS ({PTS_SQL}),
+  rects AS (
+    SELECT r_regionkey AS region_id,
+           CAST(r_regionkey AS DOUBLE) * 25.0 - 65.0 AS lat_min,
+           CAST(r_regionkey AS DOUBLE) * 25.0 - 40.0 AS lat_max,
+           CAST(r_regionkey AS DOUBLE) * 60.0 - 170.0 AS lon_min,
+           CAST(r_regionkey AS DOUBLE) * 60.0 - 115.0 AS lon_max
+    FROM region),
+  tagged AS (
+    SELECT p.pid, p.user_id, p.ts,
+           CAST(COALESCE(r.region_id, -1) AS BIGINT) AS region
+    FROM pts p LEFT JOIN rects r
+      ON p.lat >= r.lat_min AND p.lat < r.lat_max
+     AND p.lon >= r.lon_min AND p.lon < r.lon_max),
+  t AS (
+    SELECT user_id, pid, region,
+           LAG(region) OVER (PARTITION BY user_id ORDER BY ts, pid)
+             AS prev_region
+    FROM tagged)
+  SELECT user_id, pid, prev_region AS from_region, region AS to_region,
+         CASE WHEN prev_region = -1 THEN 'enter'
+              WHEN region = -1 THEN 'exit'
+              ELSE 'switch' END AS kind
+  FROM t WHERE prev_region IS NOT NULL AND prev_region <> region
+""")
+def q_geofence_transitions(spark, sf_dir):
+    """Geofence enter/exit detection: per user in time order, a row per
+    containing-region change against the disjoint region-rectangle dim
+    (outside = -1).  LEFT broadcast containment join — outside points
+    must survive, they make exits observable — then one lag window; the
+    fact table shuffles once, the dim broadcasts.  (gpx2tiles draws
+    where points ARE; a fleet/geofencing product needs when they
+    ARRIVE and LEAVE — same tile engine, one more window.)"""
+    from .operators import trajectory
+    return trajectory.geofence_transitions(
+        _points(spark, sf_dir), geo.region_rects(_t(spark, sf_dir, "region")))
+
+
+@register("tile_concurrency", _traj_sql(6, """
+  , iv AS (
+    SELECT user_id, tx, ty, MIN(es) AS t0, MAX(es) AS t1
+    FROM tp GROUP BY 1, 2, 3),
+  ev AS (
+    SELECT tx, ty, user_id, t0 AS t, 1 AS delta FROM iv
+    UNION ALL
+    SELECT tx, ty, user_id, t1 + 1 AS t, -1 AS delta FROM iv),
+  run AS (
+    SELECT tx, ty, delta,
+           SUM(delta) OVER (PARTITION BY tx, ty
+                            ORDER BY t, delta DESC, user_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS load
+    FROM ev)
+  SELECT tx, ty, CAST(COUNT(*) / 2 AS BIGINT) AS n_users,
+         CAST(MAX(load) AS BIGINT) AS peak_concurrency
+  FROM run GROUP BY 1, 2
+"""))
+def q_tile_concurrency(spark, sf_dir):
+    """Peak concurrent visitors per z6 tile via the +1/−1 interval
+    sweep: a (user, tile) groupBy collapses the fact table to presence
+    intervals, then a tile-keyed running sum over the 2 endpoint rows
+    per interval.  The endpoint tie rule (t, delta DESC, user_id) —
+    same-instant starts before ends — is part of the contract and
+    identical in the oracle."""
+    from .operators import trajectory
+    return trajectory.tile_concurrency(_points(spark, sf_dir), zoom=6)

@@ -297,3 +297,65 @@ def test_zorder_layout_prunes_files(spark, tmp_path):
     plan = spark.read.parquet(clustered).filter(pred) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "IsNotNull(tx)" in plan
+
+
+def test_geofence_transitions_matches_naive(spark):
+    from gpx2tiles_spark.operators.geo import region_rects
+    from gpx2tiles_spark.operators.trajectory import geofence_transitions
+
+    regions = spark.createDataFrame(
+        [(k, f"R{k}") for k in range(5)], "r_regionkey long, r_name string")
+    rects = region_rects(regions)
+    rect_list = [(r.region_id, r.lat_min, r.lat_max, r.lon_min, r.lon_max)
+                 for r in rects.collect()]
+
+    # user 1 walks: outside -> region0 -> region0 -> outside -> region1
+    rows = [
+        (1, 1, 100, 0.0, 80.0),        # outside (lat 80 beyond all rects)
+        (2, 1, 200, -169.0, -64.0),    # region 0
+        (3, 1, 300, -168.0, -50.0),    # region 0 still
+        (4, 1, 400, 0.0, 80.0),        # outside -> exit
+        (5, 1, 500, -105.0, -30.0),    # region 1 -> enter
+    ]
+    got = sorted((r.user_id, r.pid, r.from_region, r.to_region, r.kind)
+                 for r in geofence_transitions(
+                     _mk_points(spark, rows), rects).collect())
+
+    def region_of(lon, lat):
+        for rid, la0, la1, lo0, lo1 in rect_list:
+            if la0 <= lat < la1 and lo0 <= lon < lo1:
+                return rid
+        return -1
+
+    ref, prev = [], None
+    for pid, uid, _, lon, lat in rows:
+        cur = region_of(lon, lat)
+        if prev is not None and prev != cur:
+            kind = ("enter" if prev == -1 else
+                    "exit" if cur == -1 else "switch")
+            ref.append((uid, pid, prev, cur, kind))
+        prev = cur
+    assert got == sorted(ref) and len(got) == 3
+
+
+def test_tile_concurrency_sweep(spark):
+    from gpx2tiles_spark.operators.trajectory import tile_concurrency
+
+    # tile A: u1 [100,300], u2 [200,400], u3 [500,600] -> peak 2;
+    # touching intervals count as concurrent: u4 [601, 650] overlaps
+    # u3's end+1 rule? u3 ends 600, +1 -> 601; start 601 sorts BEFORE
+    # the end event (delta DESC), so peak sees both.
+    rows = [
+        (1, 1, 100, 8.0, 48.0), (2, 1, 300, 8.0, 48.0),
+        (3, 2, 200, 8.0, 48.0), (4, 2, 400, 8.0, 48.0),
+        (5, 3, 500, 8.0, 48.0), (6, 3, 600, 8.0, 48.0),
+        (7, 4, 601, 8.0, 48.0), (8, 4, 650, 8.0, 48.0),
+    ]
+    out = tile_concurrency(_mk_points(spark, rows), zoom=6).collect()
+    assert len(out) == 1
+    assert (out[0].n_users, out[0].peak_concurrency) == (4, 2)
+
+    # disjoint users in one tile -> peak 1
+    rows2 = [(1, 1, 100, 8.0, 48.0), (2, 2, 5000, 8.0, 48.0)]
+    out2 = tile_concurrency(_mk_points(spark, rows2), zoom=6).collect()
+    assert (out2[0].n_users, out2[0].peak_concurrency) == (2, 1)

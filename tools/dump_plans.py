@@ -151,6 +151,24 @@ SECTIONS: list[tuple[str, str, str]] = [
      "asc/desc LOCF windows on ONE user-keyed partitioning (2 "
      "Exchanges total incl. the per-user bounds agg); no range join, "
      "no per-instant lookup."),
+    ("stay_points", "stay_points",
+     "Stay-point detection (trajectory family): gaps-and-islands — "
+     "lag + running sum share ONE doc-keyed Exchange, the groupBy "
+     "extends the same key; nothing wider than one document's track."),
+    ("co_visit_pairs", "co_visit_pairs",
+     "Spatiotemporal co-visitation: bucket occupancy as a WINDOW over "
+     "the distinct postings (no groupBy+join-back — was 10 Exchanges/3 "
+     "joins, now 6/1), degenerate-bucket cap filtered before the "
+     "bucket-keyed self-join."),
+    ("tile_decay", "tile_decay",
+     "Exact integer decay counter: two map-side-combinable groupBys + "
+     "the 1-row max-day broadcast (the single BroadcastNestedLoop is "
+     "that scalar, same shape as bm25's corpus constants)."),
+    ("map_match_segments", "map_match_segments",
+     "Map matching: replicated segment dim BROADCAST (fact table never "
+     "shuffles on the join), nearest via MIN(struct(d2,seg_id,t)) — a "
+     "partial aggregation, not a window sort, so the post-join shuffle "
+     "carries ~|points| rows."),
 ]
 
 COUNT_KEYS = ["exchanges", "reused_exchanges", "arrow_evals",
