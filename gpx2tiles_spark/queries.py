@@ -3548,3 +3548,38 @@ def q_tile_concurrency(spark, sf_dir):
     identical in the oracle."""
     from .operators import trajectory
     return trajectory.tile_concurrency(_points(spark, sf_dir), zoom=6)
+
+
+@register("streaming_geofence", _REGISTRY["geofence_transitions"][1])
+def q_streaming_geofence(spark, sf_dir):
+    """STATEFUL STREAMING geofence (applyInPandasWithState), oracle =
+    the batch geofence_transitions SQL verbatim: the events table is
+    replayed as a 2-file event-time-ordered stream, the containing
+    region is attached by the same broadcast stream-static containment
+    join, and per-user state (ONE long — the last region) carries
+    across micro-batches so every transition is emitted exactly once,
+    including the pair SPLIT across the batch boundary.  The converged
+    emitted set must equal the batch operator row-for-row."""
+    import shutil
+
+    from .streaming.live import geofence_stateful
+
+    ev = _t(spark, sf_dir, "events")
+    tmp = _stage_event_stream(spark, ev, 2)
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(os.path.join(tmp, "in")))
+    pts = geo.derived_points(stream)
+    rects = geo.region_rects(_t(spark, sf_dir, "region")) \
+        .select("region_id", "lat_min", "lat_max", "lon_min", "lon_max")
+    name = f"geof_{abs(hash(sf_dir)) % 99999}"
+    q = (geofence_stateful(pts, rects)
+         .writeStream.format("memory").queryName(name)
+         .outputMode("update")
+         .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    out = spark.table(name).persist()
+    out.count()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out

@@ -194,3 +194,73 @@ def cms_registers_stream(stream_df: DataFrame, key) -> DataFrame:
     from ..operators.pipeline import cms_registers
 
     return cms_registers(stream_df, key)
+
+
+GEOFENCE_OUTPUT = T.StructType([
+    T.StructField("user_id", T.LongType(), False),
+    T.StructField("pid", T.LongType(), False),
+    T.StructField("from_region", T.LongType(), False),
+    T.StructField("to_region", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),
+])
+
+GEOFENCE_STATE = T.StructType([
+    T.StructField("last_region", T.LongType(), True),
+])
+
+
+def _geofence_fn():
+    def fn(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        last = state.get[0] if state.exists else None
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["es", "pid"], kind="stable")
+            for pid, region in zip(pdf["pid"], pdf["region"]):
+                region = int(region)
+                if last is not None and last != region:
+                    out.append({
+                        "user_id": int(key[0]), "pid": int(pid),
+                        "from_region": int(last), "to_region": region,
+                        "kind": ("enter" if last == -1
+                                 else "exit" if region == -1 else "switch"),
+                    })
+                last = region
+        state.update((last,))
+        yield pd.DataFrame(out, columns=[f.name for f in GEOFENCE_OUTPUT])
+
+    return fn
+
+
+def geofence_stateful(stream_points: DataFrame,
+                      rects: DataFrame) -> DataFrame:
+    """Streaming geofence transitions (applyInPandasWithState): the
+    batch geofence operator (operators/trajectory.py) lifted onto an
+    unbounded stream.
+
+    The containing region is attached BEFORE the stateful step by the
+    same LEFT broadcast stream-static containment join the batch plan
+    uses (outside = -1); per-user state is ONE long — the last region —
+    so state is permanently bounded at |users| rows regardless of
+    stream length, and each transition is emitted exactly once, in the
+    micro-batch whose events complete the pair.  Replaying the stream
+    in event-time order therefore converges to the batch operator
+    row-for-row (the oracle row checks exactly this).
+
+    ``stream_points`` needs (pid, user_id, ts, lon, lat)."""
+    p, r = stream_points.alias("p"), rects.alias("r")
+    tagged = p.join(
+        F.broadcast(r),
+        (F.col("p.lat") >= F.col("r.lat_min"))
+        & (F.col("p.lat") < F.col("r.lat_max"))
+        & (F.col("p.lon") >= F.col("r.lon_min"))
+        & (F.col("p.lon") < F.col("r.lon_max")),
+        "left",
+    ).select(
+        "p.pid", "p.user_id",
+        F.col("p.ts").cast("timestamp").cast("double").alias("es"),
+        F.coalesce(F.col("r.region_id"), F.lit(-1)).cast("long")
+        .alias("region"))
+    return tagged.groupBy("user_id").applyInPandasWithState(
+        _geofence_fn(), GEOFENCE_OUTPUT, GEOFENCE_STATE,
+        "update", GroupStateTimeout.NoTimeout)

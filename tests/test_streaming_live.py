@@ -96,3 +96,50 @@ def test_stateful_sessionize_replay_equals_batch(spark, events, tmp_path):
                   .agg(F.min(es).alias("lo"), F.max(es).alias("hi"))
                   .filter((F.col("lo") < mid) & (F.col("hi") >= mid)).count())
     assert straddlers > 0
+
+
+def test_streaming_geofence_emits_cross_batch_transition(spark, tmp_path):
+    """A region change whose two fixes land in DIFFERENT micro-batches
+    must still be emitted exactly once (per-user last-region state
+    carries across batches), and the converged emitted set must equal
+    the batch geofence operator row-for-row."""
+    import datetime as dt
+
+    from gpx2tiles_spark.operators.geo import region_rects
+    from gpx2tiles_spark.operators.trajectory import geofence_transitions
+    from gpx2tiles_spark.streaming.live import geofence_stateful
+
+    regions = spark.createDataFrame(
+        [(k, f"R{k}") for k in range(5)], "r_regionkey long, r_name string")
+    rects = region_rects(regions).select(
+        "region_id", "lat_min", "lat_max", "lon_min", "lon_max")
+
+    # batch 1 ends with user 1 INSIDE region 0; batch 2 starts with the
+    # exit fix — the transition pair straddles the boundary.
+    def mk(rows):
+        data = [(p, u, dt.datetime.utcfromtimestamp(e), float(lo),
+                 float(la), 0.0) for p, u, e, lo, la in rows]
+        return spark.createDataFrame(
+            data, "pid long, user_id long, ts timestamp, lon double, "
+                  "lat double, kph double")
+
+    b1 = [(1, 1, 100, 0.0, 80.0),      # outside
+          (2, 1, 200, -169.0, -64.0)]  # region 0 -> enter (within batch 1)
+    b2 = [(3, 1, 300, 0.0, 80.0),      # outside -> exit (CROSS-batch pair)
+          (4, 1, 400, -105.0, -30.0)]  # region 1 -> enter
+    d = _stream_dir(tmp_path, [mk(b1), mk(b2)])
+    stream = (spark.readStream.schema(mk(b1).schema)
+              .option("maxFilesPerTrigger", 1).parquet(d))
+    q = (geofence_stateful(stream, rects)
+         .writeStream.format("memory").queryName("geof_t")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckptg"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = sorted(map(tuple, spark.table("geof_t").collect()))
+    want = sorted(map(tuple,
+                      geofence_transitions(mk(b1 + b2), rects)
+                      .select("user_id", "pid", "from_region", "to_region",
+                              "kind").collect()))
+    assert got == want
+    assert (1, 3, 0, -1, "exit") in got  # the cross-batch pair
