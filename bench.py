@@ -117,7 +117,10 @@ def run_bench(sf_dir: str, cpus: int, n_render_docs: int | None = None):
                  "track_stats", "stratified_split", "weighted_sample",
                  "bm25_topk", "cms_user_counts", "track_simplify_dp",
                  "tfidf_topterms", "pmi_bigrams", "track_resample",
-                 "speed_outliers", "bloom_prune_events"):
+                 "speed_outliers", "bloom_prune_events",
+                 "stay_points", "od_matrix", "co_visit_pairs",
+                 "tile_decay", "span_media_context", "map_match_segments",
+                 "geofence_transitions", "tile_concurrency"):
         def run(q=qs[name]):
             q(spark, sf_dir).write.format("noop").mode("overwrite").save()
         sec, info = _timed_clean(run)
