@@ -308,6 +308,19 @@ def main():
     print(json.dumps(out))
 
     os.makedirs("BENCH", exist_ok=True)
+    # PRESERVE the accumulated per-round evidence appendix (every
+    # "## Round N" section): only the header template is regenerated.
+    # A full rewrite here silently dropped 360+ lines of round history
+    # once — the appendix is append-only by design.
+    appendix = ""
+    try:
+        with open("BENCH/BASELINE.md") as f:
+            old = f.read()
+        i = old.find("\n## Round")
+        if i >= 0:
+            appendix = old[i:]
+    except FileNotFoundError:
+        pass
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH/BASELINE — measured numbers (shared 32-vCPU VM)
 
@@ -404,7 +417,7 @@ Reference C baseline: not measurable in this sandbox (libgd absent —
 BASELINE.md); correctness parity is established against transcription
 oracles of the reference's own code (tests/test_gpxparse_golden.py,
 tests/test_gd_parity.py, tests/test_pipeline_e2e.py).
-""")
+""" + appendix)
     return 0
 
 
