@@ -2630,6 +2630,33 @@ def q_census_mtf_order(spark, sf_dir):
     return out
 
 
+_STORE_DIR_CLEANED: set[str] = set()
+
+
+def _fresh_store_dir(base: str) -> str:
+    """Per-invocation VERSIONED store directory under .oracle_cache.
+
+    A stable-but-REBUILT path (rmtree + rebuild on every call) trips
+    Spark's cache-manager plan-equality reuse: a timing harness that
+    invokes the builder twice gets attempt 1's persisted plan whose
+    file index points at the files attempt 2 just deleted — FAILED_READ
+    on eviction (the sf1 sweep caught store_diff this way).  Versioned
+    dirs keep every invocation's files alive for the life of the
+    process; versions from PREVIOUS sessions are purged on the first
+    build of each base (no live plan can reference them)."""
+    import shutil
+
+    if base not in _STORE_DIR_CLEANED:
+        _STORE_DIR_CLEANED.add(base)
+        import glob as _glob
+        for old in _glob.glob(f"{base}_v*"):
+            shutil.rmtree(old, ignore_errors=True)
+    k = 0
+    while os.path.exists(f"{base}_v{k}"):
+        k += 1
+    return f"{base}_v{k}"
+
+
 _ASOF_SQL = f"""
   WITH pts AS (
     SELECT doc_id, kind, lat, lon
@@ -2678,8 +2705,6 @@ def q_store_as_of(spark, sf_dir):
     and the driver may collect it after cache eviction (50 queries of
     memory pressure) — a deleted tempdir would make the recompute fail
     (VERDICT r04 wrong-item #1)."""
-    import shutil
-
     from .config import EngineConfig
     from .streaming.incremental import TileStore
 
@@ -2689,8 +2714,7 @@ def q_store_as_of(spark, sf_dir):
     cut = f"doc{(n + 1) // 2:08d}"
     docs = _sf_docs(spark, sf_dir)
     cfg = EngineConfig(zoom_min=1, zoom_max=6)
-    d = os.path.join(_ORACLE_CACHE, f"store_asof_n{n}")
-    shutil.rmtree(d, ignore_errors=True)
+    d = _fresh_store_dir(os.path.join(_ORACLE_CACHE, f"store_asof_n{n}"))
     store = TileStore(spark, d)
     e1 = store.apply_batch("b0", docs.filter(F.col("doc_id") < cut), cfg)
     store.apply_batch("b1", docs.filter(F.col("doc_id") >= cut), cfg)
@@ -2711,15 +2735,12 @@ def q_incremental_store(spark, sf_dir):
     Built under a STABLE ``.oracle_cache`` directory (not a tempdir) so
     the returned DataFrame survives cache eviction in the driver gate —
     a recompute re-reads the store files (VERDICT r04 wrong-item #1)."""
-    import shutil
-
     from .config import EngineConfig
     from .streaming.incremental import process_batches
     _points_cache(spark, sf_dir)
     cfg = EngineConfig(zoom_min=1, zoom_max=6)
     n = _sf_n_docs(sf_dir)
-    d = os.path.join(_ORACLE_CACHE, f"store_incr_n{n}")
-    shutil.rmtree(d, ignore_errors=True)
+    d = _fresh_store_dir(os.path.join(_ORACLE_CACHE, f"store_incr_n{n}"))
     store = process_batches(spark, _sf_docs(spark, sf_dir), d, cfg,
                             n_batches=2)
     cur = store.current().select("z", "tx", "ty", "point_cnt")
@@ -3582,4 +3603,61 @@ def q_streaming_geofence(spark, sf_dir):
     out = spark.table(name).persist()
     out.count()
     shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+_DIFF_SQL = f"""
+  WITH pts AS (
+    SELECT doc_id, kind, lat, lon
+    FROM read_parquet('{os.path.join(_ORACLE_CACHE, "points_current",
+                                     "*.parquet")}')),
+  alldocs AS (
+    SELECT doc_id
+    FROM read_parquet('{os.path.join(_ORACLE_CACHE, "docs_current",
+                                     "*.parquet")}')),
+  ranked AS (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn,
+           COUNT(*) OVER () AS nd
+    FROM alldocs),
+  secondhalf AS (
+    SELECT doc_id FROM ranked
+    WHERE rn > CAST(FLOOR((nd + 1) / 2.0) AS BIGINT)),
+  zs AS (SELECT CAST(unnest(generate_series(1, 6)) AS INT) AS z)
+  SELECT z,
+         CAST(FLOOR(((lon + 180.0) / 360.0) * POW(2.0, z)) AS INT) AS tx,
+         CAST(FLOOR(((1.0 - LN(TAN(RADIANS(lat)) + 1.0/COS(RADIANS(lat)))
+              / PI()) / 2.0) * POW(2.0, z)) AS INT) AS ty,
+         COUNT(*) AS delta
+  FROM pts JOIN secondhalf USING (doc_id), zs WHERE kind = 'trkpt'
+  GROUP BY 1, 2, 3
+"""
+
+
+@register("store_diff", _DIFF_SQL)
+def q_store_diff(spark, sf_dir):
+    """Changed-tile detection between store snapshots — the partial
+    re-render driver of incremental maintenance: commit the corpus as
+    two doc-range batches, then ``diff(snapshot 1)`` vs the current
+    state.  Because the store's counters are ADDITIVE, the delta must
+    equal the SECOND batch's stamp pyramid exactly — re-derived in SQL
+    from the cached points restricted to the second half of the doc
+    ranks (the same cut predicate as store_as_of's first half).  Tiles
+    only the first batch touched must NOT appear (delta 0 ⇒ no
+    re-render).  Store under .oracle_cache (driver-durable — the
+    eviction-recompute rule from VERDICT r04 #1)."""
+    from .config import EngineConfig
+    from .streaming.incremental import TileStore
+
+    _points_cache(spark, sf_dir)
+    _docs_cache(spark, sf_dir)
+    n = _sf_n_docs(sf_dir)
+    cut = f"doc{(n + 1) // 2:08d}"
+    docs = _sf_docs(spark, sf_dir)
+    cfg = EngineConfig(zoom_min=1, zoom_max=6)
+    d = _fresh_store_dir(os.path.join(_ORACLE_CACHE, f"store_diff_n{n}"))
+    store = TileStore(spark, d)
+    e1 = store.apply_batch("b0", docs.filter(F.col("doc_id") < cut), cfg)
+    store.apply_batch("b1", docs.filter(F.col("doc_id") >= cut), cfg)
+    out = store.diff(e1["id"]).persist()
+    out.count()
     return out

@@ -88,6 +88,34 @@ class TileStore:
         """Latest-wins merge of the live delta snapshots (merge-on-read)."""
         return self._merge(self._live())
 
+    def diff(self, a_id: int, b_id: int | None = None) -> DataFrame | None:
+        """Changed-tile detection between two snapshots: the partial
+        re-render driver of an incremental pipeline (at 10^12 docs you
+        re-render the tiles a new batch TOUCHED, not the pyramid).
+
+        Full outer join of as_of(a) with as_of(b) (b defaults to the
+        current state) on the tile key; per changed tile the point_cnt
+        delta.  Both sides are per-tile-bounded stores, the join key is
+        the store's own partition key, and counters are ADDITIVE, so the
+        delta of two snapshots equals the stamp pyramid of the batches
+        between them — the property the store_diff oracle row checks."""
+        a = self.as_of(a_id)
+        b = self.current() if b_id is None else self.as_of(b_id)
+        if b is None:
+            return None
+        cols = ["z", "tx", "ty"]
+        av = a.select(*cols, F.col("point_cnt").alias("_a")) if a is not None \
+            else None
+        bv = b.select(*cols, F.col("point_cnt").alias("_b"))
+        j = bv if av is None else av.join(bv, cols, "full_outer")
+        if av is None:
+            j = j.withColumn("_a", F.lit(None).cast("long"))
+        delta = F.coalesce(F.col("_b"), F.lit(0)) - F.coalesce(F.col("_a"),
+                                                               F.lit(0))
+        return (j.withColumn("delta", delta.cast("long"))
+                .filter(F.col("delta") != 0)
+                .select(*cols, "delta"))
+
     def _merge(self, live: list[dict]) -> DataFrame | None:
         if not live:
             return None

@@ -359,3 +359,49 @@ def test_tile_concurrency_sweep(spark):
     rows2 = [(1, 1, 100, 8.0, 48.0), (2, 2, 5000, 8.0, 48.0)]
     out2 = tile_concurrency(_mk_points(spark, rows2), zoom=6).collect()
     assert (out2[0].n_users, out2[0].peak_concurrency) == (2, 1)
+
+
+def test_store_diff_equals_second_batch(spark, tmp_path):
+    """Snapshot diff = the stamp pyramid of the batches between the two
+    snapshots (additive counters); tiles only batch 1 touched must not
+    appear, tiles both touched carry only batch 2's contribution."""
+    from gpx2tiles_spark.config import EngineConfig
+    from gpx2tiles_spark.corpus import generate_documents
+    from gpx2tiles_spark.streaming.incremental import TileStore
+
+    cfg = EngineConfig(zoom_min=1, zoom_max=5)
+    docs = generate_documents(spark, 12)
+    b0 = docs.filter(F.col("doc_id") < "doc00000006")
+    b1 = docs.filter(F.col("doc_id") >= "doc00000006")
+    store = TileStore(spark, str(tmp_path / "store"))
+    e1 = store.apply_batch("b0", b0, cfg)
+    store.apply_batch("b1", b1, cfg)
+    got = {(r.z, r.tx, r.ty): r.delta
+           for r in store.diff(e1["id"]).collect()}
+
+    # independent expectation: render batch 2 alone at the same zooms
+    store2 = TileStore(spark, str(tmp_path / "store2"))
+    store2.apply_batch("only_b1", b1, cfg)
+    want = {(r.z, r.tx, r.ty): r.point_cnt
+            for r in store2.current()
+            .select("z", "tx", "ty", "point_cnt").collect()}
+    assert got == want and got
+    # self-diff is empty
+    last = max(s["id"] for s in store.manifest()["snapshots"])
+    assert store.diff(last, last).count() == 0
+
+
+def test_store_rows_survive_reinvocation(spark):
+    """The sf1-sweep failure mode: a timing harness invokes a store-
+    backed builder TWICE; the first invocation's DataFrame must stay
+    collectable after the second rebuilds (versioned store dirs — a
+    stable-but-rebuilt path leaves attempt 1's plan pointing at deleted
+    files)."""
+    from gpx2tiles_spark.queries import _REGISTRY
+
+    first = _REGISTRY["store_diff"][0](spark, SF_SMOKE)
+    rows1 = sorted(map(tuple, first.collect()))
+    second = _REGISTRY["store_diff"][0](spark, SF_SMOKE)
+    rows2 = sorted(map(tuple, second.collect()))
+    first.unpersist(blocking=True)  # force recompute from files
+    assert sorted(map(tuple, first.collect())) == rows1 == rows2
