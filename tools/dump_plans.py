@@ -169,6 +169,11 @@ SECTIONS: list[tuple[str, str, str]] = [
      "shuffles on the join), nearest via MIN(struct(d2,seg_id,t)) — a "
      "partial aggregation, not a window sort, so the post-join shuffle "
      "carries ~|points| rows."),
+    ("store_diff", "store_diff",
+     "Snapshot diff (changed-tile detection): full-outer join of two "
+     "store snapshots on the tile key — both sides per-tile-bounded "
+     "delta stores, the join key the store's own partition key; drives "
+     "partial re-render instead of pyramid rebuild."),
 ]
 
 COUNT_KEYS = ["exchanges", "reused_exchanges", "arrow_evals",
