@@ -107,25 +107,7 @@ def od_matrix(points: DataFrame, zoom: int = 8,
     (4^zoom² worst case, corpus-bounded in practice), so the result is
     broadcastable downstream.
     """
-    pts = with_tile(points, zoom)
-    w = Window.partitionBy("user_id").orderBy("ts", "pid")
-    gap = gap_minutes * 60
-    new_sess = (
-        F.lag("ts").over(w).isNull()
-        | ((_epoch("ts") - F.lag(_epoch("ts")).over(w)) > gap)
-    ).cast("int")
-    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    s = pts.withColumn("sess", F.sum(new_sess).over(run))
-    ws = Window.partitionBy("user_id", "sess").orderBy("ts", "pid")
-    wsd = Window.partitionBy("user_id", "sess") \
-        .orderBy(F.col("ts").desc(), F.col("pid").desc())
-    r = s.withColumn("ra", F.row_number().over(ws)) \
-         .withColumn("rd", F.row_number().over(wsd))
-    ends = r.groupBy("user_id", "sess").agg(
-        F.max(F.when(F.col("ra") == 1, F.col("tx"))).alias("o_tx"),
-        F.max(F.when(F.col("ra") == 1, F.col("ty"))).alias("o_ty"),
-        F.max(F.when(F.col("rd") == 1, F.col("tx"))).alias("d_tx"),
-        F.max(F.when(F.col("rd") == 1, F.col("ty"))).alias("d_ty"))
+    ends = session_ends(points, zoom, gap_minutes)
     return ends.groupBy("o_tx", "o_ty", "d_tx", "d_ty").agg(
         F.count("*").alias("n_trips"),
         F.countDistinct("user_id").cast("long").alias("n_users"))
@@ -264,3 +246,69 @@ def tile_concurrency(points: DataFrame, zoom: int = 6) -> DataFrame:
     return run.groupBy("tx", "ty").agg(
         (F.count("*") / 2).cast("long").alias("n_users"),
         F.max("load").cast("long").alias("peak_concurrency"))
+
+
+def session_ends(points: DataFrame, zoom: int,
+                 gap_minutes: int) -> DataFrame:
+    """Per (user, session): origin/destination cell at ``zoom`` plus the
+    session's first/last epoch second — the shared core of od_matrix and
+    od_travel_time (lag-gap cumsum, endpoints by row_number in both
+    (ts, pid) directions)."""
+    pts = with_tile(points, zoom)
+    w = Window.partitionBy("user_id").orderBy("ts", "pid")
+    gap = gap_minutes * 60
+    new_sess = (
+        F.lag("ts").over(w).isNull()
+        | ((_epoch("ts") - F.lag(_epoch("ts")).over(w)) > gap)
+    ).cast("int")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = pts.withColumn("sess", F.sum(new_sess).over(run))
+    ws = Window.partitionBy("user_id", "sess").orderBy("ts", "pid")
+    wsd = Window.partitionBy("user_id", "sess") \
+        .orderBy(F.col("ts").desc(), F.col("pid").desc())
+    r = s.withColumn("ra", F.row_number().over(ws)) \
+         .withColumn("rd", F.row_number().over(wsd))
+    return r.groupBy("user_id", "sess").agg(
+        F.max(F.when(F.col("ra") == 1, F.col("tx"))).alias("o_tx"),
+        F.max(F.when(F.col("ra") == 1, F.col("ty"))).alias("o_ty"),
+        F.max(F.when(F.col("rd") == 1, F.col("tx"))).alias("d_tx"),
+        F.max(F.when(F.col("rd") == 1, F.col("ty"))).alias("d_ty"),
+        F.min(_epoch("ts")).alias("t0"),
+        F.max(_epoch("ts")).alias("t1"))
+
+
+def od_travel_time(points: DataFrame, zoom: int = 6,
+                   gap_minutes: int = 30,
+                   min_trips: int = 3) -> DataFrame:
+    """Travel-time matrix: DISC p50/p90 of trip duration (integer
+    seconds) per (origin cell, destination cell) at ``zoom``, over the
+    same sessions as od_matrix.
+
+    DISC selection (rank = ceil(q·n) over (duration, user, sess) — a
+    total order), NOT interpolation: selection over integer seconds is
+    bit-reproducible across engines, the same policy as
+    tile_occupancy_quantiles.  Plan: the session table is already
+    |sessions|-bounded; one window over the cell pair ranks durations
+    and one groupBy picks the quantiles — the matrix side never exceeds
+    the pair cardinality.
+    """
+    ends = session_ends(points, zoom, gap_minutes)
+    dur = ends.withColumn("dur", F.col("t1") - F.col("t0"))
+    keys = ["o_tx", "o_ty", "d_tx", "d_ty"]
+    wr = Window.partitionBy(*keys).orderBy("dur", "user_id", "sess")
+    wn = Window.partitionBy(*keys)
+    rnk = dur.select(
+        *keys, "dur",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n_trips"))
+
+    def pick(q, name):
+        idx = F.greatest(
+            F.ceil(F.lit(q) * F.col("n_trips").cast("double")).cast("long"),
+            F.lit(1).cast("long"))
+        return F.max(F.when(F.col("rn") == idx, F.col("dur"))).alias(name)
+
+    return (rnk.groupBy(*keys)
+            .agg(F.max("n_trips").alias("n_trips"),
+                 pick(0.5, "p50_sec"), pick(0.9, "p90_sec"))
+            .filter(F.col("n_trips") >= min_trips))

@@ -3661,3 +3661,59 @@ def q_store_diff(spark, sf_dir):
     out = store.diff(e1["id"]).persist()
     out.count()
     return out
+
+
+@register("od_travel_time", _traj_sql(6, """
+  , m AS (
+    SELECT user_id, ts, pid, es, tx, ty,
+           CASE WHEN LAG(es) OVER w IS NULL OR es - LAG(es) OVER w > 1800
+                THEN 1 ELSE 0 END AS new_sess
+    FROM tp WINDOW w AS (PARTITION BY user_id ORDER BY ts, pid)),
+  s AS (
+    SELECT user_id, ts, pid, es, tx, ty,
+           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, pid
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS sess
+    FROM m),
+  r AS (
+    SELECT user_id, sess, tx, ty, es,
+           ROW_NUMBER() OVER (PARTITION BY user_id, sess
+                              ORDER BY ts, pid) AS ra,
+           ROW_NUMBER() OVER (PARTITION BY user_id, sess
+                              ORDER BY ts DESC, pid DESC) AS rd
+    FROM s),
+  ends AS (
+    SELECT user_id, sess,
+           MAX(CASE WHEN ra = 1 THEN tx END) AS o_tx,
+           MAX(CASE WHEN ra = 1 THEN ty END) AS o_ty,
+           MAX(CASE WHEN rd = 1 THEN tx END) AS d_tx,
+           MAX(CASE WHEN rd = 1 THEN ty END) AS d_ty,
+           MAX(es) - MIN(es) AS dur
+    FROM r GROUP BY 1, 2),
+  rnk AS (
+    SELECT o_tx, o_ty, d_tx, d_ty, dur,
+           ROW_NUMBER() OVER (PARTITION BY o_tx, o_ty, d_tx, d_ty
+                              ORDER BY dur, user_id, sess) AS rn,
+           COUNT(*) OVER (PARTITION BY o_tx, o_ty, d_tx, d_ty) AS n_trips
+    FROM ends)
+  SELECT o_tx, o_ty, d_tx, d_ty, MAX(n_trips) AS n_trips,
+         MAX(CASE WHEN rn = GREATEST(CAST(CEIL(CAST(0.5 AS DOUBLE)
+               * CAST(n_trips AS DOUBLE)) AS BIGINT), 1)
+             THEN dur END) AS p50_sec,
+         MAX(CASE WHEN rn = GREATEST(CAST(CEIL(CAST(0.9 AS DOUBLE)
+               * CAST(n_trips AS DOUBLE)) AS BIGINT), 1)
+             THEN dur END) AS p90_sec
+  FROM rnk GROUP BY 1, 2, 3, 4
+  HAVING MAX(n_trips) >= 3
+"""))
+def q_od_travel_time(spark, sf_dir):
+    """Travel-time matrix: DISC p50/p90 of trip duration per
+    (origin z6 cell, destination z6 cell), min 3 trips — the ETA prior
+    a mobility product aggregates.  DISC selection over integer
+    seconds on the (dur, user, sess) total order (bit-reproducible,
+    the tile_occupancy_quantiles policy); the session table the matrix
+    ranks is already |sessions|-bounded, so the window never exceeds
+    the pair cardinality."""
+    from .operators import trajectory
+    return trajectory.od_travel_time(_points(spark, sf_dir),
+                                     zoom=6, gap_minutes=30, min_trips=3)

@@ -405,3 +405,29 @@ def test_store_rows_survive_reinvocation(spark):
     rows2 = sorted(map(tuple, second.collect()))
     first.unpersist(blocking=True)  # force recompute from files
     assert sorted(map(tuple, first.collect())) == rows1 == rows2
+
+
+def test_od_travel_time_disc_median(spark):
+    from gpx2tiles_spark.operators.trajectory import od_travel_time
+
+    # one pair, 5 single-session trips of durations 10,20,30,40,50 by
+    # five users (each a separate session at the same O/D cells)
+    rows = []
+    pid = 0
+    for u, dur in enumerate([10, 20, 30, 40, 50], start=1):
+        base = u * 100000
+        pid += 1
+        rows.append((pid, u, base, 8.0, 48.0))
+        pid += 1
+        rows.append((pid, u, base + dur, 13.4, 52.5))
+    out = od_travel_time(_mk_points(spark, rows), zoom=6,
+                         gap_minutes=30, min_trips=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    # DISC: p50 = rank ceil(0.5*5)=3 -> 30; p90 = rank ceil(0.9*5)=5 -> 50
+    assert (r.n_trips, r.p50_sec, r.p90_sec) == (5, 30, 50)
+
+    # below min_trips -> dropped
+    out2 = od_travel_time(_mk_points(spark, rows[:4]), zoom=6,
+                          gap_minutes=30, min_trips=3).collect()
+    assert out2 == []
