@@ -121,7 +121,8 @@ def run_bench(sf_dir: str, cpus: int, n_render_docs: int | None = None):
                  "stay_points", "od_matrix", "co_visit_pairs",
                  "tile_decay", "span_media_context", "map_match_segments",
                  "geofence_transitions", "tile_concurrency",
-                 "od_travel_time", "store_diff"):
+                 "od_travel_time", "store_diff", "user_home_cells",
+                 "tile_day_retention"):
         def run(q=qs[name]):
             q(spark, sf_dir).write.format("noop").mode("overwrite").save()
         sec, info = _timed_clean(run)

@@ -3717,3 +3717,75 @@ def q_od_travel_time(spark, sf_dir):
     from .operators import trajectory
     return trajectory.od_travel_time(_points(spark, sf_dir),
                                      zoom=6, gap_minutes=30, min_trips=3)
+
+
+@register("user_home_cells", _traj_sql(7, """
+  , c AS (
+    SELECT user_id, tx, ty, COUNT(*) AS n_fixes
+    FROM tp GROUP BY 1, 2, 3),
+  r AS (
+    SELECT user_id, tx, ty, n_fixes,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY n_fixes DESC, tx, ty) AS rnk
+    FROM c)
+  SELECT user_id, tx AS home_tx, ty AS home_ty, n_fixes
+  FROM r WHERE rnk = 1
+"""))
+def q_user_home_cells(spark, sf_dir):
+    """Home-cell inference: each user's most-visited z7 cell (the mode
+    of the per-user cell distribution, deterministic tie rule
+    (n DESC, tx, ty)).  One map-side-combinable groupBy collapses the
+    fact table to |users|×|cells-visited| counts, then a user-keyed
+    window picks the argmax — the standard mode-per-group shape with no
+    engine-specific arg_max semantics."""
+    from .operators import trajectory
+    pts = trajectory.with_tile(_points(spark, sf_dir), 7)
+    c = pts.groupBy("user_id", "tx", "ty").agg(
+        F.count("*").alias("n_fixes"))
+    w = Window.partitionBy("user_id") \
+        .orderBy(F.col("n_fixes").desc(), "tx", "ty")
+    return (c.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") == 1)
+            .select("user_id", F.col("tx").alias("home_tx"),
+                    F.col("ty").alias("home_ty"), "n_fixes"))
+
+
+@register("tile_day_retention", _traj_sql(6, """
+  , posts AS (
+    SELECT DISTINCT user_id, tx, ty,
+           CAST(FLOOR(es / 86400.0) AS BIGINT) AS day
+    FROM tp),
+  ret AS (
+    SELECT a.tx, a.ty, a.day,
+           COUNT(*) AS n_users,
+           CAST(SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_retained
+    FROM posts a LEFT JOIN posts b
+      ON b.tx = a.tx AND b.ty = a.ty AND b.user_id = a.user_id
+     AND b.day = a.day + 1
+    GROUP BY 1, 2, 3)
+  SELECT tx, ty, day, n_users, n_retained
+  FROM ret WHERE n_users >= 5
+"""))
+def q_tile_day_retention(spark, sf_dir):
+    """Day-over-day visitor retention per z6 tile: of the distinct
+    users present on day d, how many return on day d+1 — a LEFT
+    self-equi-join of the (user, tile, day) postings on the FULL key
+    (tile, user, day+1), so each posting matches at most one row and
+    the join never amplifies; both sides shuffle once on the same key.
+    Tiles under 5 visitors are dropped (k-anonymity floor — also the
+    output-size bound)."""
+    from .operators import trajectory
+    pts = trajectory.with_tile(_points(spark, sf_dir), 6)
+    posts = pts.select(
+        "user_id", "tx", "ty",
+        F.floor(F.col("ts").cast("timestamp").cast("long") / F.lit(86400))
+        .cast("long").alias("day")).distinct()
+    b = posts.select(
+        F.col("tx"), F.col("ty"), F.col("user_id"),
+        (F.col("day") - 1).alias("day"), F.lit(1).alias("hit"))
+    j = posts.join(b, ["tx", "ty", "user_id", "day"], "left")
+    return (j.groupBy("tx", "ty", "day")
+            .agg(F.count("*").alias("n_users"),
+                 F.sum(F.coalesce("hit", F.lit(0))).alias("n_retained"))
+            .filter(F.col("n_users") >= 5))

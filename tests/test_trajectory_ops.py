@@ -431,3 +431,57 @@ def test_od_travel_time_disc_median(spark):
     out2 = od_travel_time(_mk_points(spark, rows[:4]), zoom=6,
                           gap_minutes=30, min_trips=3).collect()
     assert out2 == []
+
+
+def test_user_home_cell_mode_and_tie(spark):
+    from gpx2tiles_spark.queries import _REGISTRY  # noqa: F401
+    from gpx2tiles_spark.operators.trajectory import with_tile
+    from pyspark.sql import Window
+
+    # user 1: 3 fixes in cell A, 2 in B -> home A; user 2: 2 and 2 ->
+    # deterministic tie on (tx, ty)
+    rows = [(1, 1, 100, 8.0, 48.0), (2, 1, 200, 8.0, 48.0),
+            (3, 1, 300, 8.0, 48.0), (4, 1, 400, 13.4, 52.5),
+            (5, 1, 500, 13.4, 52.5),
+            (6, 2, 100, 8.0, 48.0), (7, 2, 200, 8.0, 48.0),
+            (8, 2, 300, -74.0, 40.7), (9, 2, 400, -74.0, 40.7)]
+    pts = with_tile(_mk_points(spark, rows), 7)
+    c = pts.groupBy("user_id", "tx", "ty").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), "tx", "ty")
+    got = {r.user_id: (r.tx, r.ty, r.n) for r in
+           c.withColumn("rnk", F.row_number().over(w))
+           .filter("rnk = 1").collect()}
+    ta, tb, tc = _tile(8.0, 48.0, 7), _tile(13.4, 52.5, 7), _tile(-74.0, 40.7, 7)
+    assert got[1] == (*ta, 3)
+    assert got[2] == (*min(ta, tc), 2)  # tie broken by (tx, ty) asc
+
+
+def test_tile_day_retention_counts(spark):
+    from gpx2tiles_spark.queries import _REGISTRY
+    import duckdb
+
+    # 6 users in one z6 cell on day 0; users 1-3 return on day 1
+    rows = []
+    pid = 0
+    for u in range(1, 7):
+        pid += 1
+        rows.append((pid, u, 100 + u, 8.0, 48.0))
+    for u in range(1, 4):
+        pid += 1
+        rows.append((pid, u, 86400 + 100 + u, 8.0, 48.0))
+    df = _mk_points(spark, rows)
+    from gpx2tiles_spark.operators.trajectory import with_tile
+    posts = with_tile(df, 6).select(
+        "user_id", "tx", "ty",
+        F.floor(F.col("ts").cast("timestamp").cast("long") / F.lit(86400))
+        .cast("long").alias("day")).distinct()
+    b = posts.select("tx", "ty", "user_id",
+                     (F.col("day") - 1).alias("day"), F.lit(1).alias("hit"))
+    j = posts.join(b, ["tx", "ty", "user_id", "day"], "left")
+    out = {(r.tx, r.ty, r.day): (r.n_users, r.n_retained) for r in
+           j.groupBy("tx", "ty", "day")
+           .agg(F.count("*").alias("n_users"),
+                F.sum(F.coalesce("hit", F.lit(0))).alias("n_retained"))
+           .filter("n_users >= 5").collect()}
+    t = _tile(8.0, 48.0, 6)
+    assert out == {(t[0], t[1], 0): (6, 3)}
