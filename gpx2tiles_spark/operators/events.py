@@ -75,6 +75,40 @@ def crossing_tile_col(x1, y1, x2, y2) -> Column:
     return out
 
 
+def crossing_tile_np(x1, y1, x2, y2):
+    """Vectorized numpy twin of :func:`crossing_tile_col` — the exact
+    same int64 CCW turn signs and strict-inequality edge tests over the
+    same four tile-border edges; used where the Column form's generated
+    code is too large to JIT (the 16 expanded CASE turns defeat
+    whole-stage codegen — see OPTIMIZATION_r06.md, clip_candidates)."""
+    import numpy as np
+
+    x1 = np.asarray(x1, np.int64)
+    y1 = np.asarray(y1, np.int64)
+    x2 = np.asarray(x2, np.int64)
+    y2 = np.asarray(y2, np.int64)
+
+    def turn(p1x, p1y, p2x, p2y, p3x, p3y):
+        # sign((p3y-p1y)*(p2x-p1x) - (p2y-p1y)*(p3x-p1x)) == the CASE
+        # a>b→1 / a<b→-1 / else 0 of _turn; operands bounded by ~2^20 so
+        # the int64 products cannot overflow
+        return np.sign((p3y - p1y) * (p2x - p1x) - (p2y - p1y) * (p3x - p1x))
+
+    out = np.zeros(x1.shape, bool)
+    edges = [((0, 0), (TILE_W - 1, 0)), ((0, 0), (0, TILE_H - 1)),
+             ((TILE_W - 1, 0), (TILE_W - 1, TILE_H - 1)),
+             ((0, TILE_H - 1), (TILE_W - 1, TILE_H - 1))]
+    for (e1x, e1y), (e2x, e2y) in edges:
+        inter = (
+            (turn(x1, y1, e1x, e1y, e2x, e2y)
+             != turn(x2, y2, e1x, e1y, e2x, e2y))
+            & (turn(x1, y1, x2, y2, e1x, e1y)
+               != turn(x1, y1, x2, y2, e2x, e2y))
+        )
+        out |= inter
+    return out
+
+
 def point_color_col(cfg: EngineConfig) -> Column:
     """Speed-mode stamp/line color (gpx2tiles.c:637-653). Requires columns
     src, flags, speed, kind."""

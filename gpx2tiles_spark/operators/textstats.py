@@ -93,15 +93,27 @@ def language_id(docs: DataFrame) -> DataFrame:
 def fingerprints(docs: DataFrame, n: int = 4) -> DataFrame:
     """Winnowing-lite document fingerprint: min md5 over word n-shingles
     (plus the shingle count) — groups sharing a fingerprint are near-dup
-    candidates."""
+    candidates.
+
+    Shape: explode the shingle INDEX and aggregate min(md5) per doc
+    rather than transform+array_min over an array column — higher-order
+    functions are interpreted per element (no whole-stage codegen), which
+    made the narrow form the slowest text query (14.3 s at sf1).  The
+    explode/md5/partial-agg pipeline is fully codegen'd; a document's
+    shingles are contiguous in the scan, so the map-side partial
+    aggregate collapses them to ~1 row per doc before the (tiny)
+    shuffle.  min over the md5 hex strings is the same binary UTF8
+    comparison either way."""
     words = F.split(F.col("text"), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
-    sh = F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + 1, n))))
-    return docs.select(
-        "doc_id",
-        F.array_min(sh).alias("fingerprint"),
-        F.size(sh).alias("n_shingles"),
-    )
+    sh = docs.select(
+        F.col("doc_id"), words.alias("ws"),
+        F.explode(F.sequence(
+            F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))).alias("i"))
+    h = F.md5(F.concat_ws(" ", F.slice(F.col("ws"), F.col("i") + 1, n)))
+    return (sh.select("doc_id", h.alias("h"))
+            .groupBy("doc_id")
+            .agg(F.min("h").alias("fingerprint"),
+                 F.count("*").cast("int").alias("n_shingles")))
 
 
 def tfidf_topterms(docs: DataFrame, k: int = 3) -> DataFrame:

@@ -49,8 +49,32 @@ def oracle_sql() -> dict[str, str]:
     return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
 
 
+# Scan-parallelism guard (guide §2.5 "one huge unsplittable file"):
+# the driver testdata fact tables are single-file/single-row-group
+# parquet, so every scan arrives as ONE task and the whole map stage
+# (projection, md5, explode, partial aggregation — where most of these
+# queries do their work) runs single-threaded no matter how many cores
+# the session has.  Spread under-parallel fact scans by hashing on the
+# table's natural key — the key downstream groupBys/windows cluster on,
+# so the one added exchange REPLACES the first shuffle of most queries
+# instead of adding to it.  Scale-adaptive, not local-tuned: a real
+# multi-file table at 100 TB arrives with >= cluster-parallelism scan
+# tasks and the repartition is skipped entirely.
+_SPREAD_KEYS = {"events": "user_id", "documents": "doc_id",
+                "embeddings": "vec_id"}
+_SPREAD_CACHE: dict[tuple[str, str], bool] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = _SPREAD_KEYS.get(name)
+    if key is None:
+        return df
+    ck = (sf_dir, name)
+    if ck not in _SPREAD_CACHE:
+        _SPREAD_CACHE[ck] = (df.rdd.getNumPartitions()
+                             < spark.sparkContext.defaultParallelism)
+    return df.repartition(F.col(key)) if _SPREAD_CACHE[ck] else df
 
 
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -380,7 +404,25 @@ _SEG_SQL = """
   GROUP BY pid
 """)
 def q_clip_candidates(spark, sf_dir):
-    from .operators.events import crossing_tile_col
+    """Candidate-tile crossing counts, vectorized in numpy.
+
+    The pure-Column form (explode the tile rectangle, filter on
+    crossing_tile_col, groupBy pid) produced a Filter condition of 16
+    fully-expanded CASE turn computations — generated code far past the
+    JIT's huge-method limit, so the hot loop ran interpreted (39.8 s at
+    sf1, ~170k rows/s/core).  Every candidate of a pid comes from that
+    pid's OWN row (the rectangle spans least(0,t)..greatest(0,t)), so
+    n_crossed is a per-row function: mapInPandas + the numpy twin of the
+    CCW predicate computes it with no explode, no giant codegen, and no
+    shuffle at all (guide §4.2; the old plan also shuffled every
+    exploded row into a groupBy).  Bit-identical: same int64 turn signs,
+    same strict edge tests, same candidate enumeration."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .operators.events import crossing_tile_np
+
     ev = _t(spark, sf_dir, "events")
     segs = ev.select(
         F.col("event_id").alias("pid"),
@@ -394,20 +436,40 @@ def q_clip_candidates(spark, sf_dir):
     tiled = segs.withColumn("tx2", F.floor(F.col("x2") / 256.0).cast("int")) \
                 .withColumn("ty2", F.floor(F.col("y2") / 256.0).cast("int")) \
                 .filter((F.col("tx2") != 0) | (F.col("ty2") != 0))
-    cand = (
-        tiled
-        .withColumn("cx", F.explode(F.sequence(F.least(F.lit(0), F.col("tx2")),
-                                               F.greatest(F.lit(0), F.col("tx2")))))
-        .withColumn("cy", F.explode(F.sequence(F.least(F.lit(0), F.col("ty2")),
-                                               F.greatest(F.lit(0), F.col("ty2")))))
-        .withColumn("cx", F.col("cx").cast("int"))
-        .withColumn("cy", F.col("cy").cast("int"))
-    )
-    crossed = cand.filter(crossing_tile_col(
-        F.col("x1") - 256 * F.col("cx"), F.col("y1") - 256 * F.col("cy"),
-        F.col("x2") - 256 * F.col("cx"), F.col("y2") - 256 * F.col("cy"),
-    ))
-    return crossed.groupBy("pid").agg(F.count("*").alias("n_crossed"))
+
+    schema = T.StructType([T.StructField("pid", T.LongType(), False),
+                           T.StructField("n_crossed", T.LongType(), False)])
+
+    def count_crossed(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pid = pdf["pid"].to_numpy()
+            x1 = pdf["x1"].to_numpy().astype(np.int64)
+            y1 = pdf["y1"].to_numpy().astype(np.int64)
+            x2 = pdf["x2"].to_numpy().astype(np.int64)
+            y2 = pdf["y2"].to_numpy().astype(np.int64)
+            tx2 = pdf["tx2"].to_numpy().astype(np.int64)
+            ty2 = pdf["ty2"].to_numpy().astype(np.int64)
+            lo_x, hi_x = np.minimum(0, tx2), np.maximum(0, tx2)
+            lo_y, hi_y = np.minimum(0, ty2), np.maximum(0, ty2)
+            counts = np.zeros(len(pid), np.int64)
+            for cxv in range(int(lo_x.min()), int(hi_x.max()) + 1):
+                mx = (lo_x <= cxv) & (hi_x >= cxv)
+                if not mx.any():
+                    continue
+                for cyv in range(int(lo_y.min()), int(hi_y.max()) + 1):
+                    idx = np.flatnonzero(mx & (lo_y <= cyv) & (hi_y >= cyv))
+                    if not idx.size:
+                        continue
+                    c = crossing_tile_np(
+                        x1[idx] - 256 * cxv, y1[idx] - 256 * cyv,
+                        x2[idx] - 256 * cxv, y2[idx] - 256 * cyv)
+                    counts[idx] += c
+            keep = counts > 0
+            yield pd.DataFrame({"pid": pid[keep], "n_crossed": counts[keep]})
+
+    return tiled.mapInPandas(count_crossed, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -931,13 +993,7 @@ def q_langid(spark, sf_dir):
   FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
 """)
 def q_fingerprints(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - 4, F.lit(0)))
-    sh = F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + 1, 4))))
-    return docs.select(
-        "doc_id", F.array_min(sh).alias("fingerprint"),
-        F.size(sh).alias("n_shingles"))
+    return textstats.fingerprints(_t(spark, sf_dir, "documents"), n=4)
 
 
 @register("doc_stats", """
