@@ -60,6 +60,14 @@ class EngineConfig:
     diag_speed_text: bool = False       # -d 4: first-point speed text per tile
     # physical knobs (no reference analog — Spark-side)
     shuffle_partitions: int = 32
+    # partition count for the shuffles feeding the Python raster fold;
+    # None = the session's spark.sql.shuffle.partitions.  Callers that
+    # KNOW the batch volume (e.g. the incremental TileStore, whose
+    # batches can be thousands of times smaller than a full render) set
+    # it ∝ rows so a tiny delta batch doesn't pay hundreds of near-empty
+    # Python tasks per stage — partitioning derived from input size, not
+    # a constant tuned for one scale.
+    fold_partitions: int | None = None
     salt_buckets: int = 0  # 0 = no salting; >0 = range-salt hot tiles
     hot_tile_threshold: int = 200_000  # events per tile before salting kicks in
     hot_detect_fraction: float = 0.01  # sample rate for hot-tile detection

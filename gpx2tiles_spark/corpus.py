@@ -162,8 +162,13 @@ def generate_documents(spark: SparkSession, n_docs: int,
                     for i in pdf["id"]]
             yield pd.DataFrame(rows)
 
-    rng = spark.range(start, start + n_docs,
-                      numPartitions=partitions or max(8, n_docs // 2048))
+    # partition count scales with BOTH the corpus and the cluster: the
+    # old max(8, n/2048) floor left a bench-sized corpus on 8 of 32
+    # cores for generation, parse and every downstream stage that reads
+    # the persisted parse (persist pins the partitioning)
+    n_parts = partitions or max(spark.sparkContext.defaultParallelism,
+                                n_docs // 2048)
+    rng = spark.range(start, start + n_docs, numPartitions=n_parts)
     return rng.mapInPandas(gen, SPANS_SCHEMA)
 
 

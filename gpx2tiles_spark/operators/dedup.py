@@ -22,15 +22,28 @@ from pyspark.sql import functions as F
 
 
 def doc_shingles(docs: DataFrame, n: int = 3,
-                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Distinct word n-gram shingles per document (narrow explode)."""
+                 id_col: str = "doc_id", text_col: str = "text",
+                 distinct: bool = True) -> DataFrame:
+    """Word n-gram shingles per document (distinct by default).
+
+    The shingle string is built in the codegen'd explode/concat_ws/slice
+    pipeline rather than a transform(...) higher-order function (HOFs
+    are interpreted per element — same fix as textstats.fingerprints).
+    The distinct's clustering requirement ({doc_id, shingle} ⊇ {doc_id})
+    is satisfied when the input is already hash-partitioned on doc_id
+    (the fact-scan spread), so it usually plans with no extra exchange.
+    ``distinct=False`` skips the dedup aggregation entirely for
+    consumers whose aggregate is duplicate-invariant (MIN-of-md5
+    minhash signatures) — identical results, one hash aggregation of
+    the full shingle relation less."""
     words = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
-    return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), words.alias("ws"),
+        F.explode(F.sequence(
+            F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))).alias("i"))
+    shingle = F.concat_ws(" ", F.slice(F.col("ws"), F.col("i") + 1, n))
+    out = sh.select("doc_id", shingle.alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
@@ -60,14 +73,24 @@ def lsh_band_rows(signatures: DataFrame, num_hashes: int = 8,
     predictor (tools/bench_sf10_pairs.py), which needs the surviving
     bucket membership itself, not just the pairs."""
     bands = num_hashes // band_size
-    band_rows = None
-    for b in range(bands):
-        cols = [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
-        r = signatures.select(
-            "doc_id", F.lit(b).alias("band"),
-            F.md5(F.concat_ws("|", *cols)).alias("band_key"),
-        )
-        band_rows = r if band_rows is None else band_rows.unionByName(r)
+    # one explode, not a bands-way union: a union's branches each
+    # re-execute the whole shingle+signature pipeline upstream (Spark
+    # re-runs self-referenced subtrees — measured 4× the corpus pass at
+    # 4 bands), while a Generate fans each signature row into its
+    # (band, band_key) rows after computing it once — the same shape
+    # simhash_hamming_pairs already uses
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *[
+                F.col(f"mh{b * band_size + j}") for j in range(band_size)
+            ])).alias("band_key"))
+        for b in range(bands)
+    ])
+    band_rows = (signatures
+                 .select("doc_id", F.explode(band_structs).alias("_b"))
+                 .select("doc_id", F.col("_b.band").alias("band"),
+                         F.col("_b.band_key").alias("band_key")))
     if max_bucket is not None:
         w = Window.partitionBy("band", "band_key")
         band_rows = (band_rows
@@ -280,7 +303,11 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
 
     d = digest(E)
     for _ in range(max_iter):
-        nxt = small_star(large_star(E)).localCheckpoint(eager=True)
+        # lazy checkpoint: the digest job immediately after is what
+        # materializes it, so each round runs ONE job instead of two
+        # (eager checkpoint + digest) — the loop is fixed-cost-bound on
+        # small edge sets (the 2→8 core probe's finding)
+        nxt = small_star(large_star(E)).localCheckpoint(eager=False)
         nd = digest(nxt)
         if nd == d:
             # digests agree → confirm EXACT set equality once (digest

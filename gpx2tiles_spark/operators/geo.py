@@ -251,20 +251,36 @@ def dbscan(points: DataFrame, eps: float, min_pts: int = 3) -> DataFrame:
         F.col("pid").cast("long").alias("pid"), "lat", "lon",
         F.floor(F.col("lon") / eps).cast("long").alias("cx"),
         F.floor(F.col("lat") / eps).cast("long").alias("cy"))
-    offs = F.array(*[F.lit(i) for i in (-1, 0, 1)])
-    a = (g.withColumn("dx", F.explode(offs))
-          .withColumn("dy", F.explode(offs))
+    # HALF-PLANE neighborhood join: replicate each point to 5 offsets
+    # ({0,0} + the 4 forward cells) instead of all 9 and mirror the
+    # cross-cell matches afterwards with a 2-element explode — the
+    # ordered ε-pair set is identical (same-cell joins already yield
+    # both orders; (p,q) across offset +o == (q,p) across -o), while the
+    # join-side shuffle carries 5n instead of 9n replicated rows.
+    offs = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                     for dx, dy in ((0, 0), (1, 0), (0, 1), (1, 1), (1, -1))])
+    a = (g.select("pid", "lat", "lon", "cx", "cy",
+                  F.explode(offs).alias("o"))
           .select(F.col("pid").alias("pa"), F.col("lat").alias("la"),
                   F.col("lon").alias("oa"),
-                  (F.col("cx") + F.col("dx")).alias("jx"),
-                  (F.col("cy") + F.col("dy")).alias("jy")))
+                  ((F.col("o.dx") == 0) & (F.col("o.dy") == 0)).alias("same"),
+                  (F.col("cx") + F.col("o.dx")).alias("jx"),
+                  (F.col("cy") + F.col("o.dy")).alias("jy")))
     b = g.select(F.col("pid").alias("pb"), F.col("lat").alias("lb"),
                  F.col("lon").alias("ob"),
                  F.col("cx").alias("jx"), F.col("cy").alias("jy"))
     d2 = ((F.col("la") - F.col("lb")) * (F.col("la") - F.col("lb"))
           + (F.col("oa") - F.col("ob")) * (F.col("oa") - F.col("ob")))
-    nb = (a.join(b, ["jx", "jy"]).filter(d2 <= F.lit(eps2))
-          .select("pa", "pb").persist())
+    half = a.join(b, ["jx", "jy"]).filter(d2 <= F.lit(eps2))
+    both = F.explode(F.when(
+        F.col("same"),
+        F.array(F.struct(F.col("pa"), F.col("pb")))).otherwise(
+        F.array(F.struct(F.col("pa"), F.col("pb")),
+                F.struct(F.col("pb").alias("pa"),
+                         F.col("pa").alias("pb")))))
+    nb = (half.select(both.alias("s"))
+          .select(F.col("s.pa").alias("pa"), F.col("s.pb").alias("pb"))
+          .persist())
 
     cnt = nb.groupBy("pa").agg(F.count("*").alias("c"))
     core = (cnt.filter(F.col("c") >= min_pts)
@@ -328,23 +344,57 @@ def track_hausdorff(points: DataFrame, z: int = 8, min_shared: int = 4,
                                           F.col("ub"))
     pairs = (pairs.withColumn("rk", F.row_number().over(wb))
              .filter(F.col("rk") <= max_pairs_per_track).drop("rk"))
-    pa = points.select(F.col("user_id").alias("ua"), F.col("pid").alias("p_a"),
-                       F.col("lat").alias("la"), F.col("lon").alias("oa"))
-    pb = points.select(F.col("user_id").alias("ub"), F.col("pid").alias("p_b"),
-                       F.col("lat").alias("lb"), F.col("lon").alias("ob"))
-    d2 = ((F.col("la") - F.col("lb")) * (F.col("la") - F.col("lb"))
-          + (F.col("oa") - F.col("ob")) * (F.col("oa") - F.col("ob")))
-    j = (pairs.join(pa, "ua").join(pb, "ub")
-         .select("ua", "ub", "n_shared", "p_a", "p_b", d2.alias("d2")))
-    h_ab = (j.groupBy("ua", "ub", "n_shared", "p_a")
-            .agg(F.min("d2").alias("md"))
-            .groupBy("ua", "ub", "n_shared").agg(F.max("md").alias("h_ab")))
-    h_ba = (j.groupBy("ua", "ub", "p_b").agg(F.min("d2").alias("md"))
-            .groupBy("ua", "ub").agg(F.max("md").alias("h_ba")))
-    return (h_ab.join(h_ba, ["ua", "ub"])
-            .select("ua", "ub", "n_shared",
-                    F.floor(F.greatest("h_ab", "h_ba") * F.lit(1000000.0))
-                    .cast("long").alias("hausdorff_micro")))
+    # Exact verify stage, vectorized: the relational form materialized
+    # the FULL |A|·|B| distance product as rows (270M at sf1, and the
+    # two directed aggregation chains re-executed the pair joins — j is
+    # referenced twice and Spark re-runs self-referenced subtrees).
+    # Instead, attach each track's point ARRAY to the pair row (per-user
+    # collect_list — budgeted pairs make the attached payload ≤
+    # 2·max_pairs_per_track arrays per track) and compute each pair's
+    # max-of-min in ONE numpy broadcast per pair inside mapInPandas:
+    # same (a-b)² + (a-b)² float64 op tree element-wise, min/max are
+    # pure selection, so the result is bit-identical while no shuffle
+    # ever carries a distance row.
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    upts = points.groupBy("user_id").agg(
+        F.collect_list("lat").alias("lats"),
+        F.collect_list("lon").alias("lons"))
+    jb = (pairs
+          .join(upts.select(F.col("user_id").alias("ua"),
+                            F.col("lats").alias("la"),
+                            F.col("lons").alias("oa")), "ua")
+          .join(upts.select(F.col("user_id").alias("ub"),
+                            F.col("lats").alias("lb"),
+                            F.col("lons").alias("ob")), "ub")
+          .repartition("ua", "ub"))
+
+    schema = T.StructType([
+        T.StructField("ua", T.LongType(), False),
+        T.StructField("ub", T.LongType(), False),
+        T.StructField("n_shared", T.LongType(), False),
+        T.StructField("hausdorff_micro", T.LongType(), False),
+    ])
+
+    def fold(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                la = np.asarray(r.la, np.float64)[:, None]
+                oa = np.asarray(r.oa, np.float64)[:, None]
+                lb = np.asarray(r.lb, np.float64)[None, :]
+                ob = np.asarray(r.ob, np.float64)[None, :]
+                d2 = (la - lb) * (la - lb) + (oa - ob) * (oa - ob)
+                h_ab = d2.min(axis=1).max()
+                h_ba = d2.min(axis=0).max()
+                out.append((int(r.ua), int(r.ub), int(r.n_shared),
+                            int(np.floor(max(h_ab, h_ba) * 1000000.0))))
+            yield pd.DataFrame(out, columns=["ua", "ub", "n_shared",
+                                             "hausdorff_micro"])
+
+    return jb.mapInPandas(fold, schema)
 
 
 def polygon_edges(polys: DataFrame) -> DataFrame:

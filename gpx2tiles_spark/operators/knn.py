@@ -25,15 +25,27 @@ from pyspark.sql import functions as F
 from .. import projection as P
 
 
-def _ranked(joined: DataFrame, k: int) -> DataFrame:
+def _ranked(joined: DataFrame, k: int, salt_mod: int = 64) -> DataFrame:
     d2 = (
         (F.col("lat") - F.col("qlat")) * (F.col("lat") - F.col("qlat"))
         + (F.col("lon") - F.col("qlon")) * (F.col("lon") - F.col("qlon"))
     ).alias("dist2")
+    base = joined.select("qid", "pid", "lat", "lon", "qlat", "qlon", d2)
+    # two-stage top-k: the query set is tiny, so a single window over
+    # qid funnels EVERY candidate row into |Q| tasks (the 199/200-tasks
+    # skew shape — guide §2.5).  Stage 1 takes the per-(qid, salt) top-k
+    # over a deterministic pid salt (|Q|·salt_mod keys spread across the
+    # cluster), which provably contains the global top-k — a row with
+    # global rank g <= k has salt-local rank <= g; stage 2 ranks the
+    # <= |Q|·salt_mod·k survivors exactly.  Same (dist2, pid) total
+    # order both stages, so the final ranks are identical.
+    w1 = Window.partitionBy("qid", "_salt").orderBy("dist2", "pid")
+    pre = (base.withColumn("_salt", F.pmod(F.col("pid"), F.lit(salt_mod)))
+           .withColumn("_r1", F.row_number().over(w1))
+           .filter(F.col("_r1") <= k).drop("_salt", "_r1"))
     w = Window.partitionBy("qid").orderBy("dist2", "pid")
     return (
-        joined.select("qid", "pid", "lat", "lon", "qlat", "qlon", d2)
-        .withColumn("rnk", F.row_number().over(w))
+        pre.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
 

@@ -480,7 +480,7 @@ def _rasterize_heatmap_counts(events: DataFrame, cfg: EngineConfig) -> DataFrame
         F.countDistinct("doc_id").alias("n_docs"))
     part = (
         counts.join(docs, ["z", "tx", "ty"])  # co-partitioned after the aggs
-        .repartition(_fold_partitions(counts), "z", "tx", "ty")
+        .repartition(_fold_partitions(counts, cfg), "z", "tx", "ty")
         .sortWithinPartitions("z", "tx", "ty")
     )
     _COLS = ("z", "tx", "ty", "x1", "y1", "hits", "n_docs")
@@ -526,17 +526,22 @@ def _rasterize_heatmap_counts(events: DataFrame, cfg: EngineConfig) -> DataFrame
     return part.mapInPandas(fold_partition, TILES_SCHEMA)
 
 
-def _fold_partitions(df: DataFrame) -> int:
+def _fold_partitions(df: DataFrame, cfg: EngineConfig | None = None) -> int:
     """Partition count for shuffles feeding the Python fold — EXPLICIT,
     so AQE cannot coalesce them.  AQE's byte-based advisory (64 MB)
     is calibrated for JVM operators; a 64 MB event partition is ~1.5M
     rows ≈ a minute of single-core Python fold — at 4N cores the
     coalesced hot-corridor partitions become the wall-time floor
-    (measured: top partitions 8× the mean on the skewed corpus)."""
+    (measured: top partitions 8× the mean on the skewed corpus).
+    ``cfg.fold_partitions`` overrides for callers that know the batch
+    volume (see EngineConfig)."""
+    if cfg is not None and cfg.fold_partitions:
+        return int(cfg.fold_partitions)
     return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
 
 
-def prepared_events(events: DataFrame) -> DataFrame:
+def prepared_events(events: DataFrame,
+                    cfg: EngineConfig | None = None) -> DataFrame:
     """The rasterizer's physical input: one shuffle keyed (z,tx,ty) +
     in-partition painter sort + string-free projection.
 
@@ -545,7 +550,7 @@ def prepared_events(events: DataFrame) -> DataFrame:
     (projection preserves row order) so the Arrow→pandas payload is
     string-free (5-10× cheaper conversion at millions of events)."""
     return (
-        events.repartition(_fold_partitions(events), "z", "tx", "ty")
+        events.repartition(_fold_partitions(events, cfg), "z", "tx", "ty")
         .sortWithinPartitions("z", "tx", "ty", "doc_id", "seg_order",
                               "pt_idx", "etype")
         .select("z", "tx", "ty", "etype", "x1", "y1", "x2", "y2", "color",
@@ -604,8 +609,8 @@ def _rasterize_partitions(events: DataFrame, cfg: EngineConfig) -> DataFrame:
     """Fast path: shuffle + painter sort (prepared_events) → partition-
     sliced fold (partition_folder).  Same result as
     groupBy().applyInPandas without the per-group pandas overhead."""
-    return prepared_events(events).mapInPandas(partition_folder(cfg),
-                                               TILES_SCHEMA)
+    return prepared_events(events, cfg).mapInPandas(partition_folder(cfg),
+                                                    TILES_SCHEMA)
 
 
 PIXELS_SCHEMA = T.StructType([
@@ -751,7 +756,7 @@ def rasterize_salted(events: DataFrame, cfg: EngineConfig) -> DataFrame:
     ev = events.filter(key_col.isin(hot_keys)).withColumn("salt", salt)
 
     part = (
-        ev.repartition(_fold_partitions(ev), "z", "tx", "ty", "salt")
+        ev.repartition(_fold_partitions(ev, cfg), "z", "tx", "ty", "salt")
         .sortWithinPartitions("z", "tx", "ty", "salt", "doc_id", "seg_order",
                               "pt_idx", "etype")
     )

@@ -71,18 +71,49 @@ def simplify_tracks(points: DataFrame, eps: float,
                     order_cols: tuple[str, ...] = ("ts", "pid"),
                     ) -> DataFrame:
     """→ (user_id, pid) of the points Douglas–Peucker keeps at `eps`
-    (planar degrees).  One shuffle on the track key; each group is one
-    Arrow batch → one numpy DP pass."""
+    (planar degrees).  One shuffle on the track key; each track is one
+    numpy DP pass.
+
+    Physical shape: repartition on the key + in-partition (key, order)
+    sort + a partition-sliced mapInPandas (the raster fold's pattern,
+    carry for runs split across Arrow batches) instead of
+    groupBy().applyInPandas — per-group pandas/UDF invocation overhead
+    was the whole cost at many small tracks (~15k groups × ~0.3 ms at
+    sf1), while a partition slice is just a numpy view."""
+    from typing import Iterator
+
     eps2 = float(eps) * float(eps)
     cols = list(dict.fromkeys(
         [key_col, id_col, x_col, y_col, *order_cols]))
+    part = (points.select(*cols)
+            .repartition(key_col)
+            .sortWithinPartitions(key_col, *order_cols))
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(list(order_cols), kind="mergesort")
-        keep = _dp_keep(pdf[x_col].to_numpy(np.float64),
-                        pdf[y_col].to_numpy(np.float64), eps2)
-        out = pdf.loc[keep, [key_col, id_col]]
-        return out.rename(columns={key_col: "user_id", id_col: "pid"})
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
 
-    return (points.select(*cols)
-            .groupBy(key_col).applyInPandas(fn, OUT_SCHEMA))
+        def finish(pdf: pd.DataFrame, s: int, e: int) -> pd.DataFrame:
+            sl = pdf.iloc[s:e]
+            keep = _dp_keep(sl[x_col].to_numpy(np.float64),
+                            sl[y_col].to_numpy(np.float64), eps2)
+            out = sl.iloc[np.flatnonzero(keep)][[key_col, id_col]]
+            return out.rename(columns={key_col: "user_id", id_col: "pid"})
+
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            keys = pdf[key_col].to_numpy()
+            change = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(pdf)]))
+            out = [finish(pdf, s, e) for s, e in zip(starts[:-1], ends[:-1])]
+            carry = pdf.iloc[starts[-1]:ends[-1]].copy()
+            if out:
+                yield pd.concat(out, ignore_index=True)
+        if carry is not None and len(carry):
+            yield finish(carry, 0, len(carry))
+
+    return part.mapInPandas(fold, OUT_SCHEMA)

@@ -131,9 +131,15 @@ def tfidf_topterms(docs: DataFrame, k: int = 3) -> DataFrame:
     words = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w"))
     tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
-    dfx = tf.groupBy("w").agg(F.count("*").alias("df"))
+    # df as a count-over-window on the tf relation instead of a second
+    # aggregation joined back: tf rows are unique per (doc, word), so
+    # COUNT(*) OVER (PARTITION BY w) == the document frequency — one
+    # word-keyed shuffle replaces the old plan's TWO (dfx aggregation +
+    # re-shuffling tf for the join), and tf itself is built once, not
+    # twice (self-referencing subtrees re-execute in Spark).
     stats = docs.agg(F.count("*").alias("n_docs"))
-    j = tf.join(dfx, "w").crossJoin(F.broadcast(stats))
+    j = (tf.withColumn("df", F.count("*").over(Window.partitionBy("w")))
+         .crossJoin(F.broadcast(stats)))
     score = (F.col("tf").cast("double")
              * F.log(F.col("n_docs").cast("double")
                      / F.col("df").cast("double")))
@@ -160,18 +166,25 @@ def pmi_bigrams(docs: DataFrame, min_count: int = 5,
     from pyspark.sql import Window
 
     ws = F.split(F.col("text"), " ")
-    idx = F.when(F.size(ws) > 1, F.sequence(F.lit(1), F.size(ws) - 1)
-                 ).otherwise(F.array().cast("array<int>"))
-    pairs = F.transform(idx, lambda i: F.struct(
-        F.element_at(ws, i).alias("a"),
-        F.element_at(ws, i + 1).alias("b")))
+    # adjacent pairs via arrays_zip of two slices — regular (codegen'd)
+    # collection expressions, not an interpreted transform() HOF; a
+    # 1-word doc slices to two empty arrays and zips to nothing, exactly
+    # like the old empty-sequence guard
+    pairs = F.arrays_zip(
+        F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))).alias("a"),
+        F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))).alias("b"))
     big = (docs.select(F.explode(pairs).alias("p"))
            .select("p.a", "p.b"))
     cab = big.groupBy("a", "b").agg(F.count("*").alias("cab"))
     words = docs.select(F.explode(F.split("text", " ")).alias("w"))
     uni = words.groupBy("w").agg(F.count("*").alias("c"))
-    totals = (big.agg(F.count("*").alias("bt"))
-              .crossJoin(words.agg(F.count("*").alias("tt"))))
+    # corpus totals as second-stage sums over the SAME aggregates the
+    # query already builds (Σcab == |bigrams|, Σc == |tokens|): the
+    # shuffled partial aggregates are reused, where the old agg-on-big /
+    # agg-on-words subtrees re-ran the full explode over the corpus
+    # twice more
+    totals = (cab.agg(F.sum("cab").alias("bt"))
+              .crossJoin(uni.agg(F.sum("c").alias("tt"))))
     j = (cab.filter(F.col("cab") >= min_count)
          .join(uni.withColumnRenamed("w", "a")
                   .withColumnRenamed("c", "ca"), "a")

@@ -47,12 +47,14 @@ from .. import projection as P
 
 
 def _epoch(col):
-    """Whole seconds since the epoch (timestamp cast truncates the
-    microseconds toward zero for post-1970 stamps — mirrored as
-    FLOOR(epoch(ts)) in the oracles).  The parquet column is
+    """Whole seconds since the epoch as FLOOR semantics — exactly the
+    oracles' FLOOR(epoch(ts)).  A long cast truncates toward zero,
+    which diverges by one second for pre-1970 stamps; flooring the
+    double makes the operator correct on the full timestamp domain
+    instead of assuming ts >= 1970.  The parquet column is
     TIMESTAMP_NTZ, which Spark won't cast to long directly — route via
     timestamp (UTC session — same convention as geo.py:63)."""
-    return F.col(col).cast("timestamp").cast("long")
+    return F.floor(F.col(col).cast("timestamp").cast("double")).cast("long")
 
 
 def with_tile(points: DataFrame, zoom: int) -> DataFrame:

@@ -65,10 +65,11 @@ _SPREAD_KEYS = {"events": "user_id", "documents": "doc_id",
 _SPREAD_CACHE: dict[tuple[str, str], bool] = {}
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(spark: SparkSession, sf_dir: str, name: str,
+       spread: bool = True) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     key = _SPREAD_KEYS.get(name)
-    if key is None:
+    if key is None or not spread:
         return df
     ck = (sf_dir, name)
     if ck not in _SPREAD_CACHE:
@@ -77,8 +78,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df.repartition(F.col(key)) if _SPREAD_CACHE[ck] else df
 
 
-def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return geo.derived_points(_t(spark, sf_dir, "events"))
+def _points(spark: SparkSession, sf_dir: str,
+            spread: bool = True) -> DataFrame:
+    return geo.derived_points(_t(spark, sf_dir, "events", spread=spread))
 
 
 # ---------------------------------------------------------------------------
@@ -120,6 +122,22 @@ def q_tile_assign(spark, sf_dir):
     )
 
 
+def _pyramid_tiles(spark, sf_dir, spread: bool = True) -> DataFrame:
+    """(z, tx, ty) per point × zooms 1-8 with the zoom-independent
+    Mercator fractions hoisted ABOVE the explode: ln/tan/cos run once
+    per point instead of once per (point, zoom) — bit-identical because
+    floor(frac * 2^z) is the oracle's own association (the same hoist
+    with_pair_tiles uses for the render)."""
+    pts = _points(spark, sf_dir, spread=spread).select(
+        P.xfrac_col(F.col("lon")).alias("_xf"),
+        P.yfrac_col(F.col("lat")).alias("_yf"))
+    pts = pts.withColumn("z", F.explode(F.sequence(F.lit(1), F.lit(8))))
+    zpow = F.pow(F.lit(2.0), F.col("z"))
+    return pts.select(
+        "z", F.floor(F.col("_xf") * zpow).cast("int").alias("tx"),
+        F.floor(F.col("_yf") * zpow).cast("int").alias("ty"))
+
+
 @register("tile_counts_pyramid", f"""
   WITH pts AS ({PTS_SQL}),
   zs AS (SELECT CAST(unnest(generate_series(1, 8)) AS INT) AS z)
@@ -128,13 +146,8 @@ def q_tile_assign(spark, sf_dir):
   FROM pts, zs GROUP BY 1, 2, 3
 """)
 def q_tile_counts(spark, sf_dir):
-    pts = _points(spark, sf_dir).withColumn(
-        "z", F.explode(F.sequence(F.lit(1), F.lit(8))))
-    return (
-        pts.select("z", P.tilex_col(F.col("lon"), F.col("z")).alias("tx"),
-                   P.tiley_col(F.col("lat"), F.col("z")).alias("ty"))
-        .groupBy("z", "tx", "ty").agg(F.count("*").alias("point_cnt"))
-    )
+    return (_pyramid_tiles(spark, sf_dir)
+            .groupBy("z", "tx", "ty").agg(F.count("*").alias("point_cnt")))
 
 
 @register("zoom_census", f"""
@@ -199,16 +212,23 @@ def q_hll_zoom_census(spark, sf_dir):
     per-zoom tile walk, gpx2tiles.c:771-812)."""
     from .operators import sketch
 
-    pts = _points(spark, sf_dir).withColumn(
-        "z", F.explode(F.sequence(F.lit(1), F.lit(8))))
+    # Dedup the integer (z, tx, ty) keys FIRST (one map-side-combined
+    # aggregation over narrow ints), then build the ck string + md5
+    # registers and the exact per-zoom count from the distinct tiles
+    # only.  Identical output: groupBy-MAX registers are invariant
+    # under duplicates and ck is injective in (z, tx, ty), so
+    # COUNT(DISTINCT ck) == COUNT(*) over the distinct tiles.  The old
+    # plan md5'd and regexp'd every (point × zoom) row twice (register
+    # branch + countDistinct expand) — 21.3 s at sf1; this touches
+    # strings only for the ~10^5 distinct tiles.
+    tiles = _pyramid_tiles(spark, sf_dir).distinct()
     ck = F.concat_ws(
         "|", F.col("z").cast("string"),
-        P.tilex_col(F.col("lon"), F.col("z")).cast("string"),
-        P.tiley_col(F.col("lat"), F.col("z")).cast("string"))
-    keyed = pts.select("z", ck.alias("ck"))
+        F.col("tx").cast("string"), F.col("ty").cast("string"))
+    keyed = tiles.select("z", ck.alias("ck"))
     regs = sketch.hll_registers(keyed, F.col("ck"), ["z"])
     est = sketch.hll_estimate(regs, ["z"])
-    exact = keyed.groupBy("z").agg(F.countDistinct("ck").alias("n_exact"))
+    exact = tiles.groupBy("z").agg(F.count("*").alias("n_exact"))
     return exact.join(est, "z")
 
 
@@ -648,8 +668,12 @@ def q_dbscan_clusters(spark, sf_dir):
     Oracle re-derives components as a recursive reachability closure —
     different algorithm, same answer, so the hash match checks the
     ALGORITHM (the dedup_clusters discipline).  The one count() before
-    the plan is the ε auto-tune (bounded: a single scalar)."""
-    pts = _points(spark, sf_dir).select("pid", "lat", "lon")
+    the plan is the ε auto-tune (bounded: a single scalar).
+    spread=False: the grid self-join shuffles on the cell key right
+    away, so the scan-spread repartition only adds an exchange that the
+    self-join's two consumers re-execute (A/B at sf1: 7.4 s raw vs
+    12.5 s spread)."""
+    pts = _points(spark, sf_dir, spread=False).select("pid", "lat", "lon")
     n = pts.count()
     return geo.dbscan(pts, eps=40.0 / math.sqrt(float(n)), min_pts=3)
 
@@ -839,7 +863,9 @@ _MINHASH_CTES = f"""shingles AS ({_SHINGLES_SQL}),
 """)
 def q_minhash_lsh(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    sh = dedup.doc_shingles(docs, n=3)
+    # distinct=False: MIN-of-md5 signatures are duplicate-invariant, so
+    # the per-doc shingle dedup aggregation is pure cost here
+    sh = dedup.doc_shingles(docs, n=3, distinct=False)
     sigs = dedup.minhash_signatures(sh, num_hashes=8)
     return dedup.lsh_candidate_pairs(sigs, num_hashes=8, band_size=2)
 
@@ -868,7 +894,7 @@ def q_dedup_clusters(spark, sf_dir):
     closure + min-label — same answer, different algorithm, so the
     hash match checks the ALGORITHM, not a mirrored op tree."""
     docs = _t(spark, sf_dir, "documents")
-    sh = dedup.doc_shingles(docs, n=3)
+    sh = dedup.doc_shingles(docs, n=3, distinct=False)  # min-invariant
     sigs = dedup.minhash_signatures(sh, num_hashes=8)
     pairs = dedup.lsh_candidate_pairs(sigs, num_hashes=8, band_size=2)
     return dedup.connected_components(pairs)
@@ -2696,21 +2722,36 @@ def _fresh_store_dir(base: str) -> str:
     Spark's cache-manager plan-equality reuse: a timing harness that
     invokes the builder twice gets attempt 1's persisted plan whose
     file index points at the files attempt 2 just deleted — FAILED_READ
-    on eviction (the sf1 sweep caught store_diff this way).  Versioned
-    dirs keep every invocation's files alive for the life of the
-    process; versions from PREVIOUS sessions are purged on the first
-    build of each base (no live plan can reference them)."""
+    on eviction (the sf1 sweep caught store_diff this way).  Version
+    dirs are PROCESS-scoped (`_p<pid>_v<k>`): a concurrent session in
+    the same workspace can never hold live persisted plans against a
+    dir this process purges, because the purge only removes dirs whose
+    owning pid is dead (plus legacy un-scoped `_v*` dirs from before
+    this scheme, best-effort)."""
     import shutil
 
+    pid = os.getpid()
     if base not in _STORE_DIR_CLEANED:
         _STORE_DIR_CLEANED.add(base)
         import glob as _glob
-        for old in _glob.glob(f"{base}_v*"):
+        import re as _re
+        for old in _glob.glob(f"{base}_v*") + _glob.glob(f"{base}_p*_v*"):
+            m = _re.search(r"_p(\d+)_v\d+$", old)
+            if m and int(m.group(1)) != pid:
+                try:  # purge only if the owning process is gone
+                    os.kill(int(m.group(1)), 0)
+                    continue  # alive — leave its dirs alone
+                except ProcessLookupError:
+                    pass
+                except PermissionError:
+                    continue
+            elif m:
+                continue  # our own live dirs
             shutil.rmtree(old, ignore_errors=True)
     k = 0
-    while os.path.exists(f"{base}_v{k}"):
+    while os.path.exists(f"{base}_p{pid}_v{k}"):
         k += 1
-    return f"{base}_v{k}"
+    return f"{base}_p{pid}_v{k}"
 
 
 _ASOF_SQL = f"""

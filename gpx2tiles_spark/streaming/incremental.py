@@ -145,7 +145,10 @@ class TileStore:
         written = self.spark.read.parquet(path)
         # per-partition (zoom) lineage + metrics — the north rule's
         # per-partition accounting, derived from the rasterizer's
-        # n_events/n_docs columns
+        # n_events/n_docs columns.  n_tiles = the sum of the per-zoom
+        # rows of the SAME aggregation pass — the separate count() job
+        # this used to run re-read every snapshot file for a number the
+        # stats already contain.
         stats = [r.asDict() for r in (
             written.groupBy("z").agg(
                 F.count("*").alias("tiles"),
@@ -156,7 +159,7 @@ class TileStore:
         entry = {
             "id": sid, "batch_key": batch_key, "path": rel, "kind": kind,
             "committed_at": time.time(),
-            "n_tiles": written.count(),
+            "n_tiles": sum(int(s["tiles"]) for s in stats),
             "partitions": stats,
         }
         m["snapshots"].append(entry)
@@ -189,6 +192,20 @@ class TileStore:
         # long incremental runs don't accumulate cached batches
         points = parse_documents(documents).persist()
         try:
+            # the persisted batch's size is known (one cheap job over the
+            # cache), so size the raster-fold shuffles ∝ the batch instead
+            # of the session's full-render partition count: a small delta
+            # batch otherwise pays hundreds of near-empty Python tasks
+            # per rasterize/write stage (events ≈ points × zooms; ~20k
+            # events per fold task)
+            if cfg.fold_partitions is None:
+                import dataclasses
+                import math
+                conf_parts = int(self.spark.conf.get(
+                    "spark.sql.shuffle.partitions"))
+                est_events = points.count() * max(1, len(cfg.zooms()))
+                cfg = dataclasses.replace(cfg, fold_partitions=max(
+                    1, min(conf_parts, math.ceil(est_events / 20_000))))
             events = build_events(points, cfg)
             store = self.current()
             if store is None:

@@ -122,7 +122,15 @@ def _session_fn(gap_sec: float):
             last_es, n_events, n_sessions = state.get
         else:
             last_es, n_events, n_sessions = None, 0, 0
-        for pdf in pdfs:
+        # materialize the group's micro-batch before sorting: the
+        # iterator delivers a group as MULTIPLE Arrow chunks (split at
+        # arrow.maxRecordsPerBatch) with no cross-chunk time order, so a
+        # per-chunk sort would process >10k-event batches out of
+        # event-time order and corrupt the carried state
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        batch = (pd.concat(chunks, ignore_index=True)
+                 if chunks else pd.DataFrame(columns=["es", "event_id"]))
+        for pdf in (batch,):
             pdf = pdf.sort_values(["es", "event_id"], kind="stable")
             for es in pdf["es"]:
                 es = float(es)
@@ -214,7 +222,14 @@ def _geofence_fn():
            state: GroupState) -> Iterator[pd.DataFrame]:
         last = state.get[0] if state.exists else None
         out = []
-        for pdf in pdfs:
+        # same chunk-materialization as _session_fn: a group's
+        # micro-batch arrives as multiple unordered Arrow chunks, and
+        # transitions computed per chunk would interleave out of
+        # event-time order for >10k-event batches
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        batch = (pd.concat(chunks, ignore_index=True) if chunks
+                 else pd.DataFrame(columns=["es", "pid", "region"]))
+        for pdf in (batch,):
             pdf = pdf.sort_values(["es", "pid"], kind="stable")
             for pid, region in zip(pdf["pid"], pdf["region"]):
                 region = int(region)

@@ -33,8 +33,13 @@ def test_tile_counts_single_shuffle_with_partial_agg(spark, events):
 
     df = q_tile_counts(spark, SF_ORACLE)
     plan = _plan(df)
-    # exactly one exchange (the groupBy) and map-side partial aggregation
-    assert plan.count("Exchange") == 1
+    # one aggregation exchange with map-side partial aggregation, plus
+    # (for a single-file test input) the scan-parallelism spread's
+    # repartition on user_id — and nothing else
+    n_exchange = plan.count("Exchange")
+    assert n_exchange <= 2, plan
+    if n_exchange == 2:
+        assert "hashpartitioning(user_id" in plan  # the scan spread
     assert "HashAggregate" in plan
     assert "partial_count" in plan or "partial" in plan.lower()
 
