@@ -165,9 +165,13 @@ def generate_documents(spark: SparkSession, n_docs: int,
     # partition count scales with BOTH the corpus and the cluster: the
     # old max(8, n/2048) floor left a bench-sized corpus on 8 of 32
     # cores for generation, parse and every downstream stage that reads
-    # the persisted parse (persist pins the partitioning)
-    n_parts = partitions or max(spark.sparkContext.defaultParallelism,
-                                n_docs // 2048)
+    # the persisted parse (persist pins the partitioning), while a
+    # cluster-parallelism floor wasted ~0.3 s of empty-task overhead on
+    # tiny (≤ 100-doc) corpora — so target ~3 docs/task up to the
+    # cluster's parallelism, and beyond that ~2048 docs/task
+    n_parts = partitions or max(
+        1, min(spark.sparkContext.defaultParallelism, n_docs // 3),
+        n_docs // 2048)
     rng = spark.range(start, start + n_docs, numPartitions=n_parts)
     return rng.mapInPandas(gen, SPANS_SCHEMA)
 

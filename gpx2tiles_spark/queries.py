@@ -75,7 +75,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str,
     if ck not in _SPREAD_CACHE:
         _SPREAD_CACHE[ck] = (df.rdd.getNumPartitions()
                              < spark.sparkContext.defaultParallelism)
-    return df.repartition(F.col(key)) if _SPREAD_CACHE[ck] else df
+    if not _SPREAD_CACHE[ck]:
+        return df
+    # spread to defaultParallelism, NOT spark.sql.shuffle.partitions:
+    # the goal is one map task per core; 4×-core reduce partitions only
+    # add per-task overhead on a bench-sized input (A/B at sf0.1:
+    # minhash 3.8 s @128 vs 1.3 s @32), and any downstream aggregation
+    # keyed on a superset of the spread key accepts either count
+    return df.repartition(spark.sparkContext.defaultParallelism,
+                          F.col(key))
 
 
 def _points(spark: SparkSession, sf_dir: str,
@@ -114,7 +122,9 @@ def ty_sql(lat: str, z: str) -> str:
   FROM pts
 """)
 def q_tile_assign(spark, sf_dir):
-    pts = _points(spark, sf_dir)
+    # map-only: no downstream op clusters on the spread key (A/B sf1:
+    # 0.50 s raw vs 0.79 s spread)
+    pts = _points(spark, sf_dir, spread=False)
     tx, ty = P.tilex_col(F.col("lon"), 12), P.tiley_col(F.col("lat"), 12)
     return pts.select(
         "pid", tx.alias("tx"), ty.alias("ty"),
@@ -309,7 +319,7 @@ def _pixel_sql(z: int) -> str:
 @register("pixel_positions_z16", f"WITH pts AS ({PTS_SQL})\n" + _pixel_sql(16))
 def q_pixel_positions(spark, sf_dir):
     z = 16
-    pts = _points(spark, sf_dir)
+    pts = _points(spark, sf_dir, spread=False)  # map-only (see q_tile_assign)
     tx, ty = P.tilex_col(F.col("lon"), z), P.tiley_col(F.col("lat"), z)
     pts = pts.withColumn("tx", tx).withColumn("ty", ty)
     zp = F.pow(F.lit(2.0), F.lit(z))
@@ -556,7 +566,9 @@ def q_knn_bucketed(spark, sf_dir):
   GROUP BY 1, 2
 """)
 def q_pip_rects(spark, sf_dir):
-    pts = _points(spark, sf_dir)
+    # broadcast containment join + 5-key partial agg: the fact side
+    # never needs a shuffle, so the spread is pure cost
+    pts = _points(spark, sf_dir, spread=False)
     rects = geo.region_rects(_t(spark, sf_dir, "region"))
     return (
         geo.points_in_rects(pts, rects)
@@ -829,7 +841,9 @@ def q_dedup_consecutive(spark, sf_dir):
   FROM documents GROUP BY 1
 """)
 def q_dedup_exact(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    # groupBy(content_hash) can't reuse a doc_id spread; md5 of the
+    # corpus is cheap map work (A/B sf1: 0.31 s raw vs 0.70 s spread)
+    docs = _t(spark, sf_dir, "documents", spread=False)
     return dedup.exact_duplicates(docs)
 
 
@@ -940,7 +954,9 @@ def q_simhash(spark, sf_dir):
   JOIN sizes sb ON sb.doc_id = doc_b
 """)
 def q_ngram_jaccard(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    # the doc_id <= 40 prefilter keeps a handful of docs — spreading
+    # the full corpus first is pure cost
+    docs = _t(spark, sf_dir, "documents", spread=False)
     sh = dedup.doc_shingles(docs, n=3)
     return dedup.ngram_jaccard_pairs(sh, max_id=40)
 
@@ -1442,7 +1458,9 @@ def q_s2_cells(spark, sf_dir):
     oracle's recursive-CTE Hilbert state machine — face selection,
     quadratic ST and the full curve all round-trip through DuckDB."""
     from .operators.s2 import with_s2_cell
-    return with_s2_cell(_points(spark, sf_dir), level=12) \
+    # map-only Arrow UDF; spread measured pure cost (A/B sf1: 0.83 raw
+    # vs 1.25 spread, and far worse in dirty windows)
+    return with_s2_cell(_points(spark, sf_dir, spread=False), level=12) \
         .select("pid", "s2_cell")
 
 
@@ -2933,7 +2951,8 @@ def q_stratified_split(spark, sf_dir):
     """Deterministic hash-bucketed train/val/test split, audited per
     (lang, source, split).  The assignment is a pure map (no shuffle,
     no RNG state); the audit groupBy is low-cardinality."""
-    return pipeline.stratified_split_counts(_t(spark, sf_dir, "documents"))
+    return pipeline.stratified_split_counts(
+        _t(spark, sf_dir, "documents", spread=False))  # pure map + tiny agg
 
 
 _WS_HASH = "md5(concat('ws|', CAST(doc_id AS VARCHAR)))"
@@ -3492,8 +3511,9 @@ def q_tile_decay(spark, sf_dir):
     pow() EWMA has no deterministic aggregation order.  Two map-side-
     combinable groupBys + one 1-row max-day broadcast."""
     from .operators import trajectory
-    return trajectory.tile_decay(_points(spark, sf_dir),
-                                 zoom=6, horizon_days=29)
+    return trajectory.tile_decay(
+        # (tx,ty,day)-keyed aggs can't reuse a user_id spread
+        _points(spark, sf_dir, spread=False), zoom=6, horizon_days=29)
 
 
 @register("span_media_context", f"""
