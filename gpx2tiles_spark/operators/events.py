@@ -197,7 +197,21 @@ def circle_rect_bounds(df: DataFrame, r: int) -> DataFrame:
 
 
 def build_events(points: DataFrame, cfg: EngineConfig) -> DataFrame:
-    """The full event relation for speed-color (default) or heatmap mode."""
+    """The full event relation for speed-color (default) or heatmap mode.
+
+    Static branch pruning on the configured zoom range: a branch whose
+    zoom gate can never pass (lines below z_no_lines, waypoints at or
+    below z_no_wpts, PDOP below its hardcoded z >= 17) is provably
+    empty, but would still execute its explode/filter stages per batch
+    — for the incremental store's z1-6 pyramids that was 6 of 7 union
+    branches doing nothing.  Same rows by construction; the full-range
+    render keeps every branch."""
+    zmax = max(cfg.zooms())
+    lines_possible = (not cfg.heatmap) and zmax >= cfg.z_no_lines
+    wpts_possible = zmax > cfg.z_no_wpts
+    # _pdop_events emits PDOP rows only at z >= PDOP_MIN_Z, plus -d1
+    # shadows at EVERY zoom
+    pdop_possible = zmax >= PDOP_MIN_Z or cfg.diag_shadows
     trk = with_pair_tiles(
         paired_points(points.filter(F.col("kind") == "trkpt")), cfg)
     # the expensive inverse-Mercator PIXEL projection stays deferred per
@@ -271,29 +285,35 @@ def build_events(points: DataFrame, cfg: EngineConfig) -> DataFrame:
         F.col("lx2").alias("x2"), F.col("ly2").alias("y2"), cl_color,
     )
 
-    if cfg.heatmap:
-        out = stamps  # no line branches at all in heatmap mode
+    if not lines_possible:
+        out = stamps  # line gates provably never pass in this range
     else:
         out = stamps.unionByName(same_lines).unionByName(cross_lines)
-    out = out.unionByName(_pdop_events(with_pixel(trk), cfg, color)
-                          .select(*out.columns))
+    if pdop_possible:
+        out = out.unionByName(_pdop_events(with_pixel(trk), cfg, color)
+                              .select(*out.columns))
 
     # --- waypoints (F5): stamps + circles only at z > z_no_wpts
-    wpts = points.filter(F.col("kind") == "wpt")
-    wz = with_tile_pixel(with_zooms(wpts, cfg)).filter(
-        F.col("z") > F.lit(cfg.z_no_wpts)
-    )
-    key = [F.col("z"), F.col("tx"), F.col("ty"), F.col("doc_id"),
-           F.col("seg_order"), F.col("pt_idx")]
-    wpt_color = (F.lit(-1) if cfg.heatmap else point_color_col(cfg)).alias("color")
-    wpt_stamps = wz.select(
-        *key, F.lit(ET_STAMP).alias("etype"),
-        F.col("px").alias("x1"), F.col("py").alias("y1"),
-        F.lit(0).alias("x2"), F.lit(0).alias("y2"), wpt_color,
-    )
-    out = out.unionByName(wpt_stamps.select(*out.columns)) \
-             .unionByName(_wpt_circles(wz, cfg).select(*out.columns)) \
-             .unionByName(_pdop_events(wz, cfg, wpt_color).select(*out.columns))
+    if wpts_possible or cfg.diag_speed_text:
+        wpts = points.filter(F.col("kind") == "wpt")
+        wz = with_tile_pixel(with_zooms(wpts, cfg)).filter(
+            F.col("z") > F.lit(cfg.z_no_wpts)
+        )
+    if wpts_possible:
+        key = [F.col("z"), F.col("tx"), F.col("ty"), F.col("doc_id"),
+               F.col("seg_order"), F.col("pt_idx")]
+        wpt_color = (F.lit(-1) if cfg.heatmap
+                     else point_color_col(cfg)).alias("color")
+        wpt_stamps = wz.select(
+            *key, F.lit(ET_STAMP).alias("etype"),
+            F.col("px").alias("x1"), F.col("py").alias("y1"),
+            F.lit(0).alias("x2"), F.lit(0).alias("y2"), wpt_color,
+        )
+        out = out.unionByName(wpt_stamps.select(*out.columns)) \
+                 .unionByName(_wpt_circles(wz, cfg).select(*out.columns))
+        if pdop_possible:
+            out = out.unionByName(
+                _pdop_events(wz, cfg, wpt_color).select(*out.columns))
     if cfg.diag_speed_text:
         out = out.unionByName(
             _speed_text_events(with_pixel(trk), wz, cfg).select(*out.columns))
