@@ -526,6 +526,38 @@ def _rasterize_heatmap_counts(events: DataFrame, cfg: EngineConfig) -> DataFrame
     return part.mapInPandas(fold_partition, TILES_SCHEMA)
 
 
+# Target rows per Python-fold task (the incremental store's measured
+# "~20k events/task" sweet spot): big enough to amortize the per-task
+# Arrow/worker round trip, small enough that a task is sub-second.
+_FOLD_TARGET_ROWS = 20_000
+
+
+def _cached_rowcount_estimate(df: DataFrame) -> int | None:
+    """Largest MATERIALIZED cached-relation row count inside ``df``'s
+    optimized logical plan (a py4j plan walk — no job).  The render's
+    input is a persisted points relation the caller typically counted
+    already; when that cache is visible its row count lets the fold
+    shuffle be sized from actual input volume instead of the session
+    constant (guide §2: derive partitioning from input size).  Returns
+    None when no materialized cache is in the plan (e.g. a cold full-
+    scale run) — callers keep the session setting."""
+    try:
+        best = None
+        stack = [df._jdf.queryExecution().optimizedPlan()]
+        while stack:
+            p = stack.pop()
+            if p.getClass().getSimpleName() == "InMemoryRelation":
+                rc = p.stats().rowCount()
+                if rc.isDefined():
+                    best = max(best or 0, int(str(rc.get())))
+            it = p.children().iterator()
+            while it.hasNext():
+                stack.append(it.next())
+        return best
+    except Exception:  # plan shapes we don't know — never fail the plan
+        return None
+
+
 def _fold_partitions(df: DataFrame, cfg: EngineConfig | None = None) -> int:
     """Partition count for shuffles feeding the Python fold — EXPLICIT,
     so AQE cannot coalesce them.  AQE's byte-based advisory (64 MB)
@@ -534,10 +566,25 @@ def _fold_partitions(df: DataFrame, cfg: EngineConfig | None = None) -> int:
     coalesced hot-corridor partitions become the wall-time floor
     (measured: top partitions 8× the mean on the skewed corpus).
     ``cfg.fold_partitions`` overrides for callers that know the batch
-    volume (see EngineConfig)."""
+    volume (see EngineConfig); otherwise, when the event relation sits
+    on a materialized points cache, the count is derived from its row
+    count × zoom fan-out at ~:data:`_FOLD_TARGET_ROWS` rows/task,
+    floored at the cluster's defaultParallelism (never fewer than one
+    task per core) and capped at the session shuffle-partition setting
+    (the documented full-scale behavior — an uncached 100 TB input
+    keeps the session value)."""
     if cfg is not None and cfg.fold_partitions:
         return int(cfg.fold_partitions)
-    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    conf_n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    cached = _cached_rowcount_estimate(df)
+    if cached:
+        import math
+
+        fanout = max(1, len(cfg.zooms())) if cfg is not None else 1
+        by_rows = math.ceil(cached * fanout / _FOLD_TARGET_ROWS)
+        floor = df.sparkSession.sparkContext.defaultParallelism
+        return max(1, min(conf_n, max(floor, by_rows)))
+    return conf_n
 
 
 def prepared_events(events: DataFrame,

@@ -70,3 +70,39 @@ def test_salted_planning_skips_full_count_pass(spark, monkeypatch):
     assert df.schema is not None  # plan built, fold not yet run
     ev.unpersist()
     docs.unpersist()
+
+
+def test_fold_partitions_derive_from_cached_points(spark):
+    """When the event relation sits on a MATERIALIZED points cache, the
+    fold shuffle is sized from row volume (×zoom fan-out, ~20k rows per
+    task) floored at defaultParallelism and capped at the session
+    shuffle-partition setting; with no cache visible it keeps the
+    session setting unchanged."""
+    import math
+
+    from gpx2tiles_spark.operators.raster import (_FOLD_TARGET_ROWS,
+                                                  _cached_rowcount_estimate,
+                                                  _fold_partitions)
+
+    cfg = EngineConfig(zoom_min=1, zoom_max=18)
+    docs = generate_documents(spark, 8, partitions=4)
+    cold = build_events(parse_documents(docs), cfg)
+    conf_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert _cached_rowcount_estimate(cold) is None
+    assert _fold_partitions(cold, cfg) == conf_n
+
+    points = parse_documents(docs).persist()
+    try:
+        n = points.count()  # materialize → stats carry the row count
+        ev = build_events(points, cfg)
+        assert _cached_rowcount_estimate(ev) == n
+        expect = max(
+            1, min(conf_n,
+                   max(spark.sparkContext.defaultParallelism,
+                       math.ceil(n * len(cfg.zooms()) / _FOLD_TARGET_ROWS))))
+        assert _fold_partitions(ev, cfg) == expect
+        # the explicit override still wins
+        cfg_o = EngineConfig(zoom_min=1, zoom_max=18, fold_partitions=7)
+        assert _fold_partitions(ev, cfg_o) == 7
+    finally:
+        points.unpersist()
