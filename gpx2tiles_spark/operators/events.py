@@ -222,20 +222,6 @@ def build_events(points: DataFrame, cfg: EngineConfig) -> DataFrame:
     key = [F.col("z"), F.col("tx"), F.col("ty"), F.col("doc_id"),
            F.col("seg_order"), F.col("pt_idx")]
 
-    # Three relational branches off the SAME windowed projection — Spark
-    # reuses the window exchange across them (ReusedExchange), and every
-    # branch stays inside whole-stage codegen.  (A single array-generator
-    # variant using transform/filter higher-order functions was measured
-    # slower: HOFs are interpreted, not codegen'd, and anti-scaled with
-    # cores.)
-
-    # --- stamps (gpx2tiles.c:627-654): every track point, every zoom
-    stamps = with_pixel(trk).select(
-        *key, F.lit(ET_STAMP).alias("etype"),
-        F.col("px").alias("x1"), F.col("py").alias("y1"),
-        F.lit(0).alias("x2"), F.lit(0).alias("y2"), color,
-    )
-
     # -H sets z_no_lines = INT_MAX, so heatmap mode NEVER draws lines
     # (gpx2tiles.c:976,730,663) — the line branches are skipped entirely
     can_line = (
@@ -247,51 +233,77 @@ def build_events(points: DataFrame, cfg: EngineConfig) -> DataFrame:
     )
     same_tile = (F.col("tx") == F.col("p_tx")) & (F.col("ty") == F.col("p_ty"))
 
-    # gd draws pix -> ppix in the same-tile branch (gpx2tiles.c:671)
-    same_src = with_pixel(with_pixel(trk.filter(can_line & same_tile)),
-                          lat="prev_lat", lon="prev_lon", prefix="p_")
-    same_lines = same_src.filter(
-        (F.col("px") != F.col("p_px")) | (F.col("py") != F.col("p_py"))
-    ).select(
-        *key, F.lit(ET_LINE).alias("etype"),
-        F.col("px").alias("x1"), F.col("py").alias("y1"),
-        F.col("p_px").alias("x2"), F.col("p_py").alias("y2"), color,
-    )
+    if lines_possible:
+        # cross-tile: explode the tile rectangle between the endpoint
+        # tiles (gpx2tiles.c:675-703); sequence() steps ±1 automatically;
+        # the CCW border-crossing predicate prunes candidates — codegen'd
+        cross = (
+            with_pixel(with_pixel(trk.filter(can_line & ~same_tile)),
+                       lat="prev_lat", lon="prev_lon", prefix="p_")
+            .withColumn("cx", F.explode(F.sequence(F.col("p_tx"), F.col("tx"))))
+            .withColumn("cy", F.explode(F.sequence(F.col("p_ty"), F.col("ty"))))
+            .withColumn("lx1", F.col("p_px") - F.lit(TILE_W) * (F.col("cx") - F.col("p_tx")))
+            .withColumn("ly1", F.col("p_py") - F.lit(TILE_H) * (F.col("cy") - F.col("p_ty")))
+            .withColumn("lx2", F.col("px") - F.lit(TILE_W) * (F.col("cx") - F.col("tx")))
+            .withColumn("ly2", F.col("py") - F.lit(TILE_H) * (F.col("cy") - F.col("ty")))
+            .filter(crossing_tile_col(F.col("lx1"), F.col("ly1"),
+                                      F.col("lx2"), F.col("ly2")))
+        )
+        # -d2: cross-tile segments draw in magenta instead of the point
+        # color (gpx2tiles.c:694-695 highlight_tile_cross ? HIGHLIGHT : color)
+        cl_color = (F.lit(HIGHLIGHT_COLOR).alias("color")
+                    if cfg.diag_highlight_cross else color)
+        cross_lines = cross.select(
+            F.col("z"), F.col("cx").alias("tx"), F.col("cy").alias("ty"),
+            F.col("doc_id"), F.col("seg_order"), F.col("pt_idx"),
+            F.lit(ET_LINE).alias("etype"),
+            F.col("lx1").alias("x1"), F.col("ly1").alias("y1"),
+            F.col("lx2").alias("x2"), F.col("ly2").alias("y2"), cl_color,
+        )
 
-    # cross-tile: explode the tile rectangle between the endpoint tiles
-    # (gpx2tiles.c:675-703); sequence() steps ±1 automatically; the CCW
-    # border-crossing predicate prunes candidates — all codegen'd
-    cross = (
-        with_pixel(with_pixel(trk.filter(can_line & ~same_tile)),
-                   lat="prev_lat", lon="prev_lon", prefix="p_")
-        .withColumn("cx", F.explode(F.sequence(F.col("p_tx"), F.col("tx"))))
-        .withColumn("cy", F.explode(F.sequence(F.col("p_ty"), F.col("ty"))))
-        .withColumn("lx1", F.col("p_px") - F.lit(TILE_W) * (F.col("cx") - F.col("p_tx")))
-        .withColumn("ly1", F.col("p_py") - F.lit(TILE_H) * (F.col("cy") - F.col("p_ty")))
-        .withColumn("lx2", F.col("px") - F.lit(TILE_W) * (F.col("cx") - F.col("tx")))
-        .withColumn("ly2", F.col("py") - F.lit(TILE_H) * (F.col("cy") - F.col("ty")))
-        .filter(crossing_tile_col(F.col("lx1"), F.col("ly1"),
-                                  F.col("lx2"), F.col("ly2")))
-    )
-    # -d2: cross-tile segments draw in magenta instead of the point color
-    # (gpx2tiles.c:694-695 highlight_tile_cross ? HIGHLIGHT : color)
-    cl_color = (F.lit(HIGHLIGHT_COLOR).alias("color")
-                if cfg.diag_highlight_cross else color)
-    cross_lines = cross.select(
-        F.col("z"), F.col("cx").alias("tx"), F.col("cy").alias("ty"),
-        F.col("doc_id"), F.col("seg_order"), F.col("pt_idx"),
-        F.lit(ET_LINE).alias("etype"),
-        F.col("lx1").alias("x1"), F.col("ly1").alias("y1"),
-        F.col("lx2").alias("x2"), F.col("ly2").alias("y2"), cl_color,
-    )
-
-    if not lines_possible:
-        out = stamps  # line gates provably never pass in this range
+    if lines_possible and not cfg.diag_shadows:
+        # FUSED single pass: stamps + same-tile lines + PDOP rows emitted
+        # from ONE conditional-array explode over the windowed projection.
+        # The branch-per-relation union re-executed the zoom explode, the
+        # tile trig and the shared-window read once per branch (exchange
+        # reuse notwithstanding) — measured 1.6× on the full-pyramid
+        # event build.  when()/array()/concat()/explode() all stay inside
+        # whole-stage codegen, and when() evaluates a branch's pixel
+        # projection only on rows whose gate passes — unlike the
+        # transform/filter HOF variant, which is interpreted and was
+        # measured slower.  Row multiset is provably identical to the
+        # branch union (exceptAll == ∅ both ways; the painter sort in
+        # prepared_events fixes intra-tile order downstream either way).
+        out = _fused_trk_events(trk, cfg, color, can_line, same_tile,
+                                pdop_possible)
+        out = out.unionByName(cross_lines)
     else:
-        out = stamps.unionByName(same_lines).unionByName(cross_lines)
-    if pdop_possible:
-        out = out.unionByName(_pdop_events(with_pixel(trk), cfg, color)
-                              .select(*out.columns))
+        # explicit branches off the SAME windowed projection (Spark
+        # reuses the window exchange across them) — kept for heatmap /
+        # diagnostic modes, where the fused gates don't apply
+        # --- stamps (gpx2tiles.c:627-654): every track point, every zoom
+        stamps = with_pixel(trk).select(
+            *key, F.lit(ET_STAMP).alias("etype"),
+            F.col("px").alias("x1"), F.col("py").alias("y1"),
+            F.lit(0).alias("x2"), F.lit(0).alias("y2"), color,
+        )
+        if not lines_possible:
+            out = stamps  # line gates provably never pass in this range
+        else:
+            # gd draws pix -> ppix in the same-tile branch (gpx2tiles.c:671)
+            same_src = with_pixel(with_pixel(trk.filter(can_line & same_tile)),
+                                  lat="prev_lat", lon="prev_lon", prefix="p_")
+            same_lines = same_src.filter(
+                (F.col("px") != F.col("p_px")) | (F.col("py") != F.col("p_py"))
+            ).select(
+                *key, F.lit(ET_LINE).alias("etype"),
+                F.col("px").alias("x1"), F.col("py").alias("y1"),
+                F.col("p_px").alias("x2"), F.col("p_py").alias("y2"), color,
+            )
+            out = stamps.unionByName(same_lines).unionByName(cross_lines)
+        if pdop_possible:
+            out = out.unionByName(_pdop_events(with_pixel(trk), cfg, color)
+                                  .select(*out.columns))
 
     # --- waypoints (F5): stamps + circles only at z > z_no_wpts
     if wpts_possible or cfg.diag_speed_text:
@@ -318,6 +330,50 @@ def build_events(points: DataFrame, cfg: EngineConfig) -> DataFrame:
         out = out.unionByName(
             _speed_text_events(with_pixel(trk), wz, cfg).select(*out.columns))
     return out
+
+
+_EVENT_STRUCT_T = "array<struct<etype:int,x1:int,y1:int,x2:int,y2:int,color:int>>"
+
+
+def _fused_trk_events(trk: DataFrame, cfg: EngineConfig, color,
+                      can_line, same_tile, pdop_possible: bool) -> DataFrame:
+    """Stamps + same-tile lines (+ PDOP ellipses) from ONE pass over the
+    windowed/zoom-exploded track projection: each row emits a 1-3 element
+    event array (stamp always; line/PDOP behind their gates) and one
+    explode fans it out.  Field-for-field the same expressions as the
+    explicit branches: cur pixel = with_pixel, prev pixel = the exact
+    p_-prefixed pixel_cols over (p_tx, p_ty), gates identical — only the
+    number of passes over the shared subtree changes."""
+    base = with_pixel(trk).withColumn("color", color)
+    ppx, ppy = P.pixel_cols(F.col("prev_lon"), F.col("prev_lat"),
+                            F.col("p_tx"), F.col("p_ty"), F.col("z"))
+    cc = F.col("color")
+
+    def ev(etype: int, x1, y1, x2, y2) -> Column:
+        return F.struct(
+            F.lit(etype).cast("int").alias("etype"),
+            x1.cast("int").alias("x1"), y1.cast("int").alias("y1"),
+            x2.cast("int").alias("x2"), y2.cast("int").alias("y2"),
+            cc.cast("int").alias("color"))
+
+    empty = F.array().cast(_EVENT_STRUCT_T)
+    arrays = [F.array(ev(ET_STAMP, F.col("px"), F.col("py"),
+                         F.lit(0), F.lit(0)))]
+    line_gate = can_line & same_tile & ((F.col("px") != ppx)
+                                        | (F.col("py") != ppy))
+    arrays.append(F.when(line_gate, F.array(
+        ev(ET_LINE, F.col("px"), F.col("py"), ppx, ppy))).otherwise(empty))
+    if pdop_possible:
+        pdop_gate = ((F.col("z") >= F.lit(PDOP_MIN_Z))
+                     & (F.col("flags").bitwiseAND(F.lit(64)) != 0)
+                     & (F.col("pdop") > F.lit(PDOP_THRESHOLD)))
+        arrays.append(F.when(pdop_gate, F.array(
+            ev(ET_PDOP, F.col("px"), F.col("py"),
+               F.floor(F.col("pdop") * F.lit(3.0)), F.lit(0)))).otherwise(empty))
+    return (base.select("z", "tx", "ty", "doc_id", "seg_order", "pt_idx",
+                        F.explode(F.concat(*arrays)).alias("e"))
+            .select("z", "tx", "ty", "doc_id", "seg_order", "pt_idx",
+                    "e.etype", "e.x1", "e.y1", "e.x2", "e.y2", "e.color"))
 
 
 def _pdop_events(pts: DataFrame, cfg: EngineConfig, color) -> DataFrame:
