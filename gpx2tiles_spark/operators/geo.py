@@ -247,10 +247,14 @@ def dbscan(points: DataFrame, eps: float, min_pts: int = 3) -> DataFrame:
     squared degrees (no antimeridian wrap), bit-reproducible across
     engines."""
     eps2 = eps * eps
+    # persist the grid-keyed points: the neighborhood self-join's two
+    # sides otherwise re-execute the full upstream derivation once each
+    # (a self-referenced subtree is re-run per consumer) — one cached
+    # pass replaces two; small (5 narrow columns per point)
     g = points.select(
         F.col("pid").cast("long").alias("pid"), "lat", "lon",
         F.floor(F.col("lon") / eps).cast("long").alias("cx"),
-        F.floor(F.col("lat") / eps).cast("long").alias("cy"))
+        F.floor(F.col("lat") / eps).cast("long").alias("cy")).persist()
     # HALF-PLANE neighborhood join: replicate each point to 5 offsets
     # ({0,0} + the 4 forward cells) instead of all 9 and mirror the
     # cross-cell matches afterwards with a 2-element explode — the
@@ -283,8 +287,13 @@ def dbscan(points: DataFrame, eps: float, min_pts: int = 3) -> DataFrame:
           .persist())
 
     cnt = nb.groupBy("pa").agg(F.count("*").alias("c"))
+    # persist the (tiny, ≤ one row per point) core set: it feeds four
+    # consumers (both edge semi-joins, the label join, the border
+    # anti-join) and each would otherwise re-run the nb-scale count
+    # aggregation — measured 15.5 → 10.0 s at the sf1 volume together
+    # with the g cache above, identical output set
     core = (cnt.filter(F.col("c") >= min_pts)
-            .select(F.col("pa").alias("pid")))
+            .select(F.col("pa").alias("pid")).persist())
     edges = (nb.filter(F.col("pa") < F.col("pb"))
              .join(core.select(F.col("pid").alias("pa")), "pa", "leftsemi")
              .join(core.select(F.col("pid").alias("pb")), "pb", "leftsemi"))
