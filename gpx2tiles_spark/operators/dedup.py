@@ -265,10 +265,12 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     cluster; callers wanting them materialized can union the
     complement.  Output is exactly one row per distinct doc id in
     ``pairs``."""
+    # lazy initial checkpoint: the digest right below is what
+    # materializes it — one job instead of eager-checkpoint + digest
     E = (pairs.select(F.col(src).cast("long").alias("u"),
                       F.col(dst).cast("long").alias("v"))
          .filter(F.col("u") != F.col("v")).distinct()
-         .localCheckpoint(eager=True))
+         .localCheckpoint(eager=False))
 
     def large_star(e: DataFrame) -> DataFrame:
         sym = e.unionByName(e.select(F.col("v").alias("u"),
@@ -312,8 +314,9 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         if nd == d:
             # digests agree → confirm EXACT set equality once (digest
             # collisions are ~2^-64 but correctness here is not a
-            # probabilistic contract)
-            if nxt.exceptAll(E).isEmpty() and E.exceptAll(nxt).isEmpty():
+            # probabilistic contract); one action for both directions —
+            # the union is empty iff both exceptAll legs are
+            if nxt.exceptAll(E).unionByName(E.exceptAll(nxt)).isEmpty():
                 E = nxt
                 break
         E, d = nxt, nd
